@@ -66,9 +66,9 @@ object SequenceGen {
     def tok(p: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       when($"i" === 0, lit(0))
         .when($"i" === 1,
-          when(p % (lit(maxLen) / 3) === lit(maxLen) / 6, lit(ClickToken)).otherwise(lit(7)))
+          when(p % lit(maxLen / 3) === lit(maxLen / 6), lit(ClickToken)).otherwise(lit(7)))
         .when($"i" === 2,
-          when(p % (lit(2 * maxLen) / 6) === lit(maxLen) / 6, lit(ClickToken)).otherwise(lit(7)))
+          when(p % lit(2 * maxLen / 6) === lit(maxLen / 6), lit(ClickToken)).otherwise(lit(7)))
         .otherwise(pmod(abs(xxhash64(lit(seed), $"i", p)), lit(vocab.toLong)).cast("int"))
 
     base

@@ -1,0 +1,165 @@
+package graft.summaries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.model.SummaryType
+
+/** The reference's nine summary reducers with its exact continuous-time
+  * weighting semantics (SURVEY.md §2.4).
+  *
+  * Weighting rule (verbatim spec in the reference fixture
+  * /root/reference/tests/test-summaries/expected/testplug-curve-vsr-mean.csv:1-11):
+  * if a feature lacks duration, it extends until the timestamp of the
+  * following feature; the FINAL feature extends until the end of the input
+  * or the last-ending output, whichever is later. Features with explicit
+  * durations span exactly their duration. All continuous-time reducers
+  * integrate over these spans.
+  *
+  * Dispatcher in the reference: runner/FeatureExtractionManager.cpp:118-131;
+  * always invoked with ContinuousTimeAverage (`:1008,1057`).
+  *
+  * Scale shape: the weight pre-pass is one window over (entity, transform)
+  * — same exchange the summary groupBy needs, so Catalyst plans exactly one
+  * shuffle for pre-pass + all reducers together (mirrors the reference's
+  * one-pass multi-summary evaluation, `:998-1011`).
+  */
+object Summaries {
+
+  /** Append `w_end` / `w` (span) columns to a feature timeline.
+    *
+    * @param features    (entityCol, [transformCol,] tsCol, [durationCol,] valueCol…)
+    * @param inputEnd    optional end-of-input column (e.g. per-entity stream
+    *                    length); the final span extends to
+    *                    greatest(inputEnd, last end across ALL transforms of
+    *                    the entity) — the cross-output dependency flagged in
+    *                    SURVEY.md §7.4.
+    */
+  def withSpans(
+      features: DataFrame,
+      entityCol: String,
+      transformCol: Option[String],
+      tsCol: String,
+      durationCol: Option[String] = None,
+      inputEnd: Option[Column] = None): DataFrame = {
+    val groupCols = col(entityCol) +: transformCol.map(col).toSeq
+    val wSeq = Window.partitionBy(groupCols: _*).orderBy(col(tsCol).asc)
+    val wEntity = Window.partitionBy(col(entityCol))
+
+    val ownEnd = durationCol match {
+      case Some(d) => coalesce(col(tsCol) + col(d), col(tsCol))
+      case None    => col(tsCol)
+    }
+    // last-ending output across the whole entity (all transforms)
+    val lastEnd = max(ownEnd).over(wEntity)
+    val globalEnd = inputEnd match {
+      case Some(e) => greatest(lastEnd, e)
+      case None    => lastEnd
+    }
+    val end = durationCol match {
+      case Some(d) =>
+        coalesce(col(tsCol) + col(d), lead(col(tsCol), 1).over(wSeq), globalEnd)
+      case None =>
+        coalesce(lead(col(tsCol), 1).over(wSeq), globalEnd)
+    }
+    features
+      .withColumn("w_end", end)
+      .withColumn("w", (col("w_end") - col(tsCol)).cast("double"))
+  }
+
+  /** Segment assignment for `--segments`-style summaries
+    * (runner/main.cpp:734-767): seg_start = greatest boundary <= ts, with
+    * everything before the first boundary in a segment starting at 0. */
+  def withSegment(df: DataFrame, tsCol: String, boundaries: Seq[Long]): DataFrame = {
+    val segExpr = boundaries.sorted.foldLeft(lit(0L)) { (acc, b) =>
+      when(col(tsCol).cast("long") >= b, lit(b)).otherwise(acc)
+    }
+    df.withColumn("seg_start", segExpr)
+  }
+
+  /** All nine reducers over a scalar value column, one output row per group,
+    * one shuffle. Median and mode need per-(group, value) pre-aggregation —
+    * still a single logical pipeline: groupBy(value) first (combinable
+    * map-side), then windows over the small aggregated set.
+    *
+    * @param spanned output of [[withSpans]] (must contain `w`)
+    * @param groupCols grouping keys (entity [, transform [, seg_start]])
+    */
+  def summarizeScalar(
+      spanned: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      types: Seq[SummaryType] = SummaryType.all): DataFrame = {
+    val gs = groupCols.map(col)
+    val v = col(valueCol)
+
+    val needMedianMode =
+      types.contains(SummaryType.Median) || types.contains(SummaryType.Mode)
+
+    // basic + moment reducers: one groupBy
+    val aggs = scala.collection.mutable.Buffer.empty[Column]
+    types.foreach {
+      case SummaryType.Count => aggs += count(lit(1)).as("count")
+      case SummaryType.Min   => aggs += min(v).as("min")
+      case SummaryType.Max   => aggs += max(v).as("max")
+      case SummaryType.Sum   => aggs += sum(v).as("sum")
+      case SummaryType.Mean  => aggs += (sum(v * col("w")) / sum(col("w"))).as("mean")
+      case SummaryType.Variance | SummaryType.Sd =>
+        if (!aggs.exists(_.toString.contains("__ev2"))) {
+          aggs += (sum(v * v * col("w")) / sum(col("w"))).as("__ev2")
+          aggs += (sum(v * col("w")) / sum(col("w"))).as("__ev")
+        }
+      case _ => ()
+    }
+    if (aggs.isEmpty) aggs += count(lit(1)).as("__n")
+    var out = spanned.groupBy(gs: _*).agg(aggs.head, aggs.tail.toSeq: _*)
+      .drop("__n")
+    if (types.contains(SummaryType.Variance))
+      out = out.withColumn("variance", col("__ev2") - col("__ev") * col("__ev"))
+    if (types.contains(SummaryType.Sd))
+      out = out.withColumn("sd", sqrt(col("__ev2") - col("__ev") * col("__ev")))
+    out = out.drop("__ev2", "__ev")
+
+    if (needMedianMode) {
+      val byValue = spanned.groupBy(gs :+ v.as("__val"): _*)
+        .agg(sum(col("w")).as("__w"))
+      val wVal = Window.partitionBy(gs: _*).orderBy(col("__val").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(gs: _*)
+      var mm: DataFrame = null
+      if (types.contains(SummaryType.Median)) {
+        mm = byValue
+          .withColumn("__cum", sum(col("__w")).over(wVal))
+          .withColumn("__half", sum(col("__w")).over(wAll) / 2.0)
+          .where(col("__cum") >= col("__half"))
+          .groupBy(gs: _*).agg(min(col("__val")).as("median"))
+      }
+      if (types.contains(SummaryType.Mode)) {
+        val wMode = Window.partitionBy(gs: _*)
+          .orderBy(col("__w").desc, col("__val").asc)
+        val mode = byValue
+          .withColumn("__rn", row_number().over(wMode)).where(col("__rn") === 1)
+          .select(gs :+ col("__val").as("mode"): _*)
+        mm = if (mm == null) mode else mm.join(mode, groupCols)
+      }
+      out = out.join(mm, groupCols)
+    }
+    out
+  }
+
+  /** Long-format summary rows mirroring the reference's CSV summary layout
+    * (FIXTURES.md §4): one row per group per summary type, with the
+    * reference's label string. */
+  def toSummaryRows(
+      wide: DataFrame,
+      groupCols: Seq[String],
+      types: Seq[SummaryType]): DataFrame = {
+    val pieces = types.map { t =>
+      wide.select(groupCols.map(col) ++ Seq(
+        lit(t.name).as("summary_name"),
+        col(t.name).cast("double").as("value"),
+        lit(t.label).as("label")): _*)
+    }
+    pieces.reduce(_.unionByName(_))
+  }
+}
