@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TokenFeatures
+
+/** Deduplication operators for large-scale training-data pipelines: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design: every method avoids the O(n²) all-pairs trap —
+  * candidates are generated only inside small blocking buckets (LSH bands,
+  * simhash band bytes, length blocks), so the expensive verify step runs on
+  * |bucket|² pairs with |bucket| ≪ n. All shuffles are plain hash
+  * exchanges on bucket keys; skewed mega-buckets (e.g. boilerplate dups)
+  * should be capped with `maxBucket` which drops degenerate buckets rather
+  * than letting one task own n² work.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the row with the smallest `idCol` per duplicate
+    * group. One shuffle on the (hashed) content key. */
+  def exact(df: DataFrame, contentCols: Seq[String], idCol: String): DataFrame = {
+    val w = Window.partitionBy(contentCols.map(col): _*).orderBy(col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Candidate pairs from MinHash + banded LSH over a token column.
+    *
+    * signature[h] = min over tokens of affine hash h; `bands` bands of
+    * `rowsPerBand` signature entries each become bucket keys; docs sharing
+    * any band bucket become a candidate pair; pairs are verified with the
+    * signature-estimated Jaccard (fraction of agreeing minhashes).
+    *
+    * Returns (id_a, id_b, est_jaccard) with id_a < id_b, est >= threshold.
+    */
+  def minhashLshPairs(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sig = df
+      .select(col(idCol).as("id"),
+        TokenFeatures.minhashSignature(col(tokensCol), numHashes).as("sig"))
+    // band key = (band index, hash of that band's signature slice)
+    val banded = sig.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
+      .withColumnRenamed("col", "bucket")
+      .withColumnRenamed("pos", "band")
+    // cap degenerate buckets (see scale note above)
+    val wB = Window.partitionBy(col("band"), col("bucket"))
+    val capped = banded
+      .withColumn("__n", count(lit(1)).over(wB))
+      .where(col("__n") <= maxBucket)
+    val a = capped.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = capped.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
+          (x === y).cast("int")), v => v === 1)).cast("double") / numHashes)
+          .as("est_jaccard"))
+      .where(col("est_jaccard") >= threshold)
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Exact n-gram (shingle) Jaccard between candidate pairs produced by a
+    * blocking key (default: same source + doc-length bucket). Use for the
+    * verify step after LSH, or standalone on small blocked groups. */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      wordsCol: String,  // array<string>
+      n: Int = 3,
+      blockingCols: Seq[Column] = Nil,
+      threshold: Double = 0.5): DataFrame = {
+    val shingles = df.select(
+      col(idCol).as("id") +:
+        (array_distinct(transform(
+          sequence(lit(0), greatest(size(col(wordsCol)) - n, lit(0))),
+          i => concat_ws(" ", slice(col(wordsCol), i + 1, lit(n))))).as("sh")) +:
+        blockingCols.zipWithIndex.map { case (c, i) => c.as(s"bk$i") }: _*)
+    val keys = blockingCols.indices.map(i => s"bk$i")
+    val a = shingles.select(col("id").as("id_a") +: col("sh").as("sh_a") +: keys.map(col): _*)
+    val b = shingles.select(col("id").as("id_b") +: col("sh").as("sh_b") +: keys.map(col): _*)
+    val joined = if (keys.nonEmpty) a.join(b, keys.toSeq) else a.crossJoin(b)
+    joined.where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1)).cast("double"))
+          .as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** SimHash near-dup pairs: 32-bit simhash; blocking on each of 4 bytes
+    * (two near-dups within hamming distance <= 7 share at least one byte),
+    * verify with exact hamming <= maxHamming. */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = 10000): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      TokenFeatures.simhash32(col(tokensCol)).as("sh"))
+    val banded = sh.select(col("id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(3)), b =>
+        call_function("shiftright", col("sh"), b * 8).bitwiseAND(255))))
+      .withColumnRenamed("col", "byte").withColumnRenamed("pos", "band")
+    val wB = Window.partitionBy(col("band"), col("byte"))
+    val capped = banded.withColumn("__n", count(lit(1)).over(wB))
+      .where(col("__n") <= maxBucket)
+    val a = capped.select(col("band"), col("byte"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = capped.select(col("band"), col("byte"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "byte"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        TokenFeatures.hamming(col("sh_a"), col("sh_b")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Embedding-cosine near-dup pairs via random-hyperplane LSH blocking
+    * (sign bits of dot products with `nPlanes` deterministic pseudo-random
+    * hyperplanes), verified with exact cosine >= threshold. */
+  def embeddingDupPairs(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      dim: Int,
+      nPlanes: Int = 8,
+      threshold: Double = 0.95): DataFrame = {
+    val sig = df.select(col(idCol).as("id"),
+      transform(col(embCol), x => x.cast("double")).as("v"))
+      .withColumn("bucket", Similarity.hyperplaneSig(col("v"), dim, nPlanes))
+    val a = sig.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = sig.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("v_a"), col("v_b")).as("cos"))
+      .where(col("cos") >= threshold)
+      .dropDuplicates("id_a", "id_b")
+  }
+}

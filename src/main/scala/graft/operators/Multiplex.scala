@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multiplex: align N sequences position-by-position into one N-channel
+  * sequence — the reference's MultiplexedReader zip-join
+  * (/root/reference/runner/MultiplexedReader.cpp:29-47,57-89): length =
+  * max of inputs, shorter inputs padded with "silence" (0), one channel
+  * per source.
+  *
+  * Array-local implementation: since a sequence is one row's array, the
+  * N-way zip is a single projection after an equi-join of the N doc rows —
+  * no explode, no per-position shuffle.
+  */
+object Multiplex {
+
+  /** Multiplex the token arrays of N docs (selected by id) into one row:
+    * channels: array<array<int>> where channel i is docIds(i)'s tokens
+    * padded with `pad` to the max length. */
+  def multiplex(
+      sequences: DataFrame, // (doc_id, tokens, n_tok, source)
+      docIds: Seq[String],
+      pad: Int = 0): DataFrame = {
+    require(docIds.nonEmpty)
+    val parts = docIds.zipWithIndex.map { case (d, i) =>
+      sequences.where(col("doc_id") === d)
+        .select(lit(1).as("__k"), col("tokens").as(s"t$i"), col("n_tok").as(s"n$i"))
+    }
+    val joined = parts.reduce((a, b) => a.join(b, "__k"))
+    val maxLen = greatest(docIds.indices.map(i => col(s"n$i")): _*)
+    val padded = docIds.indices.map { i =>
+      // pad channel i to maxLen with `pad` (reference zeroes the block);
+      // guard: sequence(1, 0) would generate a DESCENDING range in Spark
+      when(maxLen > col(s"n$i"),
+        concat(col(s"t$i"),
+          transform(sequence(lit(1), maxLen - col(s"n$i")), _ => lit(pad))))
+        .otherwise(col(s"t$i"))
+        .as(s"ch$i")
+    }
+    joined.select(
+      lit(docIds.mkString("+")).as("doc_id") +:
+        maxLen.as("n_tok") +:
+        padded: _*)
+      .withColumn("channels", array(docIds.indices.map(i => col(s"ch$i")): _*))
+      .select("doc_id", "n_tok", "channels")
+  }
+
+  /** Positional full-outer alignment of two event tables on (pos), one
+    * value column per side, missing positions 0-padded — the relational
+    * form of the zip-join for row-per-position data (J1). */
+  def alignByPosition(
+      a: DataFrame, // (pos, value)
+      b: DataFrame,
+      valueA: String = "value_a",
+      valueB: String = "value_b"): DataFrame = {
+    a.select(col("pos"), col("value").as(valueA))
+      .join(b.select(col("pos"), col("value").as(valueB)), Seq("pos"), "full_outer")
+      .withColumn(valueA, coalesce(col(valueA), lit(0.0)))
+      .withColumn(valueB, coalesce(col(valueB), lit(0.0)))
+  }
+
+  /** Peak normalisation (reference `-n`, runner/main.cpp:774-776): scale a
+    * value array so its absolute max is 1.0 (no-op on all-zero input,
+    * mirroring golden tests/test-audioformat/expected/norm-on.csv). */
+  def peakNormalize(df: DataFrame, valuesCol: String): DataFrame = {
+    val peak = array_max(transform(col(valuesCol), v => abs(v.cast("double"))))
+    df.withColumn(valuesCol,
+      when(peak > 0, transform(col(valuesCol), v => v.cast("double") / peak))
+        .otherwise(transform(col(valuesCol), v => v.cast("double"))))
+  }
+}

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor similarity search over embedding columns.
+  *
+  * Baseline: brute-force cosine top-k (broadcast the query side — correct
+  * reference answer, O(|Q|·|C|) but map-only and codegen'd).
+  * Scale path: random-hyperplane LSH bucketing with multiprobe — candidates
+  * only within matching buckets, then exact re-rank. At 10^12 rows the
+  * bucketed variant turns a cross join into a bucket-key equi-join.
+  */
+object Similarity {
+
+  /** Dot product of two array<double> columns (codegen'd HOF chain). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * greatest(norm(b), lit(1e-12)))
+
+  /** Deterministic pseudo-random hyperplane component j of plane p:
+    * uniform in [-1, 1) derived from xxhash64 — same family as the data
+    * generator, reproducible at any parallelism. */
+  private def planeCoeff(p: Int, j: Column): Column =
+    (pmod(xxhash64(lit("plane"), lit(p), j), lit(2000000L)).cast("double") /
+      1000000.0) - 1.0
+
+  /** Sign-bit signature across nPlanes hyperplanes -> long bucket id. */
+  def hyperplaneSig(v: Column, dim: Int, nPlanes: Int): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      val d = aggregate(
+        zip_with(v, sequence(lit(0), lit(dim - 1)), (x, j) => x * planeCoeff(p, j)),
+        lit(0.0), (s, x) => s + x)
+      when(d >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Brute-force cosine top-k: for each query vector, the k most similar
+    * corpus vectors (excluding itself when ids collide). Queries are
+    * broadcast; corpus streams — one map stage + one window top-k. */
+  def cosineTopK(
+      queries: DataFrame, // (qid, qv: array<double>)
+      corpus: DataFrame,  // (cid, cv: array<double>)
+      k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .where(col("qid") =!= col("cid"))
+      .withColumn("score", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(round(col("score"), 6).desc, col("cid").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("cid"), round(col("score"), 6).as("score"))
+  }
+
+  /** LSH-bucketed ANN top-k: candidates share a hyperplane bucket with the
+    * query (multiprobe: also buckets at hamming distance 1), exact re-rank
+    * inside candidates. Recall < 1 by construction; use for the scale path. */
+  def annTopK(
+      queries: DataFrame, // (qid, qv)
+      corpus: DataFrame,  // (cid, cv)
+      dim: Int,
+      k: Int,
+      nPlanes: Int = 8): DataFrame = {
+    val cs = corpus.withColumn("bucket", hyperplaneSig(col("cv"), dim, nPlanes))
+    // multiprobe: original bucket + each 1-bit flip
+    val qs = queries.withColumn("bucket0", hyperplaneSig(col("qv"), dim, nPlanes))
+      .withColumn("bucket", explode(array(
+        col("bucket0") +: (0 until nPlanes).map(p =>
+          col("bucket0").bitwiseXOR(lit(1L << p))): _*)))
+      .drop("bucket0")
+    val scored = qs.join(cs, Seq("bucket"))
+      .where(col("qid") =!= col("cid"))
+      .withColumn("score", cosine(col("qv"), col("cv")))
+      .dropDuplicates("qid", "cid")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(round(col("score"), 6).desc, col("cid").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("cid"), round(col("score"), 6).as("score"))
+  }
+}

@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column <-> Expression bridge. Spark 4 made these conversions
+  * private[sql]; living in an org.apache.spark.sql subpackage is the
+  * standard pattern for extension libraries that define native Catalyst
+  * expressions (same access trick public Spark extension libs use). */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
