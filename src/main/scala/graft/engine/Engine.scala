@@ -1,0 +1,125 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.{SummaryType, TransformSpec}
+import graft.summaries.{Summaries, VectorSummaries}
+
+/** Plan builder: compiles a batch of TransformSpecs over a sequences table
+  * into ONE Spark DAG, reproducing the reference's two design-time
+  * optimizations (SURVEY.md §4.1) natively:
+  *
+  *   1. Shared scan, multi-consumer: all transforms of a batch read the
+  *      sequences table once.
+  *   2. Plugin-instance sharing ("a vital optimisation",
+  *      /root/reference/runner/FeatureExtractionManager.cpp:227-258):
+  *      transforms equal up to output/summary share ONE extraction pass.
+  *      Catalyst does not CSE across union branches, so we do what the
+  *      reference does: key extraction on spec.sharingKey, run each
+  *      extractor once, then fan the rows out to transforms with a
+  *      broadcast join against the tiny (output -> transform) spec table —
+  *      a map-side operation, not a second pass.
+  *
+  * Output: feature rows
+  *   (doc_id, transform_id, output, ts, duration, values, label)
+  * ordered deterministically at sink time (reference ordered-plugin rule,
+  * FeatureExtractionManager.h:100-108).
+  */
+object Engine {
+
+  val registry: Map[String, FeatureExtractor] =
+    Seq(HistogramExtractor, EnergyExtractor, RegionsExtractor, ClicksExtractor)
+      .map(e => e.name -> e).toMap
+
+  /** Enumerate available extractors (the reference's --list,
+    * runner/main.cpp:437-453). */
+  def list: Seq[String] =
+    registry.values.toSeq.sortBy(_.name).flatMap(e =>
+      e.outputs.map(o => s"${e.name}:${o.identifier}"))
+
+  /** Run a batch of transforms; one DAG, shared extraction passes. */
+  def run(sequences: DataFrame, specs: Seq[TransformSpec]): DataFrame = {
+    require(specs.nonEmpty, "no transforms")
+    val spark = sequences.sparkSession
+    val bySharing = specs.groupBy(_.sharingKey).toSeq
+      // deterministic plan order (reference ordered-transform rule)
+      .sortBy(_._2.map(_.id).min)
+
+    val parts = bySharing.map { case (key, group) =>
+      val ex = registry.getOrElse(key.plugin,
+        throw new IllegalArgumentException(
+          s"unknown plugin: ${key.plugin} (available: ${registry.keys.mkString(", ")})"))
+      val rows = ex.extract(sequences, group.head)
+      // fan out to the transforms sharing this pass: tiny broadcast join on
+      // output, then the per-transform time-range filter (P2).
+      val consumers = group.map { spec =>
+        val out = if (spec.output.nonEmpty) spec.output
+          else ex.outputs.head.identifier
+        require(ex.outputs.exists(_.identifier == out),
+          s"plugin ${ex.name} has no output '$out'")
+        val endNs = if (spec.duration > 0) spec.start + spec.duration else Long.MaxValue
+        (spec.id, out, spec.start, endNs)
+      }
+      val specTable = spark.createDataFrame(consumers)
+        .toDF("transform_id", "output", "start_ns", "end_ns")
+      rows.join(broadcast(specTable), Seq("output"))
+        .where(col("ts") >= col("start_ns") && col("ts") < col("end_ns"))
+        .select(col("doc_id"), col("transform_id"), col("output"),
+          col("ts"), col("duration"), col("values"), col("label"))
+    }
+    parts.reduce(_.unionByName(_))
+  }
+
+  /** Continuous-time summaries for the specs that request one
+    * (vamp:summary_type), over feature rows from [[run]]. Vector-aware
+    * (per-bin reducers) in one shuffle; optional fixed segment boundaries
+    * (ns) for `--segments` semantics. Summary row layout mirrors
+    * FIXTURES.md §4:
+    * (doc_id, transform_id, seg_start_ns, seg_duration_ns, summary_name,
+    *  values: array<double>, label). */
+  def summarize(
+      features: DataFrame,
+      specs: Seq[TransformSpec],
+      boundaries: Seq[Long] = Nil): DataFrame = {
+    val wanted = specs.flatMap(s => s.summaryType.map(t => s.id -> t))
+    require(wanted.nonEmpty, "no transform requests a summary")
+    val byType = wanted.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+
+    val spanned0 = Summaries.withSpans(
+      features, "doc_id", Some("transform_id"), "ts", Some("duration"))
+    val spanned = if (boundaries.nonEmpty)
+      Summaries.withSegment(spanned0, "ts", boundaries)
+    else spanned0.withColumn("seg_start", lit(0L))
+
+    val groupCols = Seq("doc_id", "transform_id", "seg_start")
+    val wide = VectorSummaries.summarizeVector(
+      spanned.where(size(col("values")) > 0), groupCols, "values")
+      .join(
+        spanned.groupBy(groupCols.map(col): _*)
+          .agg(max(col("w_end")).as("seg_end")),
+        groupCols)
+
+    val pieces = byType.toSeq.sortBy(_._1.name).map { case (t, ids) =>
+      val valueCol: Column = t match {
+        case SummaryType.Count =>
+          array(col("count").cast("double"))
+        case SummaryType.Min => transform(col("min"), _.cast("double"))
+        case SummaryType.Max => transform(col("max"), _.cast("double"))
+        case SummaryType.Sum => col("sum")
+        case SummaryType.Mean => col("mean")
+        case SummaryType.Median => transform(col("median"), _.cast("double"))
+        case SummaryType.Mode => transform(col("mode"), _.cast("double"))
+        case SummaryType.Variance => col("variance")
+        case SummaryType.Sd => col("sd")
+      }
+      wide.where(col("transform_id").isin(ids: _*))
+        .select(col("doc_id"), col("transform_id"),
+          col("seg_start").as("seg_start_ns"),
+          (col("seg_end") - col("seg_start")).as("seg_duration_ns"),
+          lit(t.name).as("summary_name"),
+          valueCol.as("values"),
+          lit(t.label).as("label"))
+    }
+    pieces.reduce(_.unionByName(_))
+  }
+}

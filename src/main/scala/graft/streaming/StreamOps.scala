@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface: the reference is strictly batch
+  * (per-file loop, /root/reference/runner/main.cpp:1168-1196), but its
+  * incremental block loop + end-of-stream flush (getRemainingFeatures,
+  * FeatureExtractionManager.cpp:983-989) maps naturally onto streaming
+  * state with a final flush (SURVEY.md §2.8). This module provides the
+  * streaming analog of the batch operators:
+  *
+  *   - tumbling/sliding windowed aggregation with watermarking
+  *   - gap-based sessionization via flatMapGroupsWithState (the stateful
+  *     generalization of Windows.sessionize)
+  */
+object StreamOps {
+
+  case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  case class SessionOut(user_id: Long, session_start: Long, session_end: Long,
+      n_events: Long, sum_value: Double)
+
+  /** Watermarked sliding-window aggregation (W1 streaming analog). */
+  def windowedAgg(events: DataFrame, window_ : String = "5 minutes",
+      slide: String = "1 minute", watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+
+  /** Gap-based session assembly: emits a session row when `gapMs` of event
+    * time passes with no event for the user. Event-time timeout +
+    * watermark make the end-of-session flush deterministic (the
+    * getRemainingFeatures flush analog). */
+  def sessionize(events: Dataset[Event], gapMs: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s =>
+              SessionOut(user, s.start, s.last, s.n, s.sum)).toIterator
+            state.remove()
+            out
+          } else {
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last > gapMs =>
+                  closed ::= SessionOut(user, s.start, s.last, s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case Some(s) =>
+                  cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1,
+                    sum = s.sum + e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // flush when event time passes the gap with no activity
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverseIterator
+          }
+        })
+  }
+}

@@ -1,0 +1,116 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.engine.Checkpoint
+import graft.operators.Multimodal
+import graft.streaming.StreamOps
+
+class CheckpointStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("checkpointed run is resumable: completed buckets skipped, counters kept") {
+    val dir = Files.createTempDirectory("graftckpt").toString
+    val data = spark.range(100).toDF("id")
+      .withColumn("doc_id", format_string("d%03d", $"id"))
+    def build(b: Int) =
+      data.where(Checkpoint.bucketOf("doc_id", 4) === b)
+
+    // first run: pretend to crash after 2 buckets
+    var built = 0
+    intercept[RuntimeException] {
+      Checkpoint.runBuckets(spark, dir, 4, Map("job" -> "test")) { b =>
+        built += 1
+        if (built == 3) throw new RuntimeException("simulated crash")
+        build(b)
+      }
+    }
+    assert(Checkpoint.manifest(dir).size == 2)
+
+    // resume: only the remaining buckets run
+    var resumed = 0
+    val res = Checkpoint.runBuckets(spark, dir, 4, Map("job" -> "test")) { b =>
+      resumed += 1; build(b)
+    }
+    assert(resumed == 2)
+    assert(res.count(_.skipped) == 2)
+    // all rows present exactly once
+    val rows = spark.read.parquet(s"$dir/data")
+    assert(rows.count() == 100)
+    assert(rows.select("doc_id").distinct().count() == 100)
+    // lineage + counters present
+    val manifest = Checkpoint.manifest(dir)
+    assert(manifest.size == 4)
+    assert(manifest.forall(_.contains("\"job\": \"test\"")))
+    assert(manifest.forall(_.contains("\"rows\"")))
+  }
+
+  test("streaming gap sessionization closes sessions on gap and on flush") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[StreamOps.Event]
+    val q = StreamOps.sessionize(mem.toDS(), gapMs = 1000L)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    def ev(u: Long, t: Long, v: Double) =
+      StreamOps.Event(u, new java.sql.Timestamp(t), v)
+    // user 1: two sessions separated by a 5s gap, delivered across batches.
+    // times start above 0: rows at/below the watermark (initially 0) are
+    // dropped by the stateful operator.
+    val B = 100000L
+    mem.addData(ev(1, B, 1.0), ev(1, B + 500, 2.0))
+    q.processAllAvailable()
+    mem.addData(ev(1, B + 6000, 3.0)) // gap > 1000ms -> closes session 1
+    q.processAllAvailable()
+    val out = spark.table("sessions").as[StreamOps.SessionOut].collect()
+    assert(out.length == 1)
+    assert(out.head.session_start == B && out.head.session_end == B + 500)
+    assert(out.head.n_events == 2 && out.head.sum_value == 3.0)
+    // event-time timeout flush (the getRemainingFeatures analog): advance
+    // the watermark past user 1's gap via another user's events
+    mem.addData(ev(2, B + 20000, 1.0))
+    q.processAllAvailable() // watermark -> B+20000 at batch end
+    mem.addData(ev(2, B + 21000, 1.0))
+    q.processAllAvailable() // timers (B+7000 < B+20000) fire this batch
+    val out2 = spark.table("sessions").as[StreamOps.SessionOut].collect()
+    q.stop()
+    assert(out2.exists(s => s.user_id == 1 && s.session_start == B + 6000 &&
+      s.n_events == 1 && s.sum_value == 3.0))
+  }
+
+  test("streaming windowed agg produces windows under watermark") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[StreamOps.Event]
+    val df = mem.toDS().toDF()
+      .withColumn("event_type", lit("x"))
+    val agg = StreamOps.windowedAgg(df, "10 seconds", "10 seconds", "1 minute")
+    val q = agg.writeStream.format("memory").queryName("winagg")
+      .outputMode("complete").start()
+    mem.addData(
+      StreamOps.Event(1, new java.sql.Timestamp(1000), 1.0),
+      StreamOps.Event(1, new java.sql.Timestamp(2000), 2.0),
+      StreamOps.Event(2, new java.sql.Timestamp(15000), 5.0))
+    q.processAllAvailable()
+    val rows = spark.table("winagg").collect()
+    q.stop()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[Long]("n")).sum == 3)
+  }
+
+  test("multimodal plumbing: binary payload, batched decode stub, schema") {
+    val docs = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
+    val media = Multimodal.fromText(docs, "doc_id", "text")
+    assert(media.schema("payload").dataType.typeName == "binary")
+    val feats = Multimodal.extractFeatures(media, parallelism = 2).collect()
+      .map(f => f.id -> f).toMap
+    assert(feats(1L).n_bytes == 11)
+    assert(feats(1L).features.length == Multimodal.StubDecoder.FeatureDim)
+    assert(feats(2L).n_bytes == 0)
+    // deterministic: same payload -> same checksum/features
+    val again = Multimodal.extractFeatures(media).collect().map(f => f.id -> f).toMap
+    assert(again(1L).checksum == feats(1L).checksum)
+    assert(again(1L).features.toSeq == feats(1L).features.toSeq)
+  }
+}

@@ -1,0 +1,127 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sinks.{CsvSink, JsonSink}
+
+class SinksSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val S = 1000000000L
+
+  /** curve features like the reference curve-vsr golden. */
+  private def curve = (0 until 3).map { i =>
+    ("docA", "t1", (i * 0.75 * S).toLong, None: Option[Long],
+      Seq((i / 10.0).toFloat), s"${i + 1} of 3")
+  }.toDF("doc_id", "transform_id", "ts", "duration", "values", "label")
+
+  private def instants = Seq(
+    ("docA", "t1", 777868480L, None: Option[Long], Seq.empty[Float], ""),
+    ("docA", "t1", 1648616780L, None: Option[Long], Seq.empty[Float], ""))
+    .toDF("doc_id", "transform_id", "ts", "duration", "values", "label")
+
+  test("curve layout: filename-on-change, 9-decimal seconds, g-format values") {
+    val lines = CsvSink.formatFeatures(curve, CsvSink.Options())
+      .orderBy("ts").select("line").as[String].collect()
+    assert(lines(0) == "\"docA\",0.000000000,0,\"1 of 3\"")
+    assert(lines(1) == ",0.750000000,0.1,\"2 of 3\"")
+    assert(lines(2) == ",1.500000000,0.2,\"3 of 3\"")
+  }
+
+  test("instants layout: empty values and labels drop their fields") {
+    val lines = CsvSink.formatFeatures(instants, CsvSink.Options())
+      .orderBy("ts").select("line").as[String].collect()
+    // golden shape: tests/test-transforms-basic/expected/percussiononsets.csv
+    assert(lines(0) == "\"docA\",0.777868480")
+    assert(lines(1) == ",1.648616780")
+  }
+
+  test("fill-ends: end = next ts, last = own ts") {
+    val lines = CsvSink.formatFeatures(curve,
+      CsvSink.Options(fillEnds = true, omitFilename = true))
+      .orderBy("ts").select("line").as[String].collect()
+    // golden shape: tests/test-csv-writer/expected/curve-vsr-fill-ends.csv
+    assert(lines(0) == "0.000000000,0.750000000,0,\"1 of 3\"")
+    assert(lines(2) == "1.500000000,1.500000000,0.2,\"3 of 3\"")
+  }
+
+  test("end-times converts durations to end timestamps") {
+    val notes = Seq(
+      ("d", "t", 0L, Some((1.75 * S).toLong), Seq(0.0f), "n1"),
+      ("d", "t", S, Some((0.5 * S).toLong), Seq(0.1f), "n2"))
+      .toDF("doc_id", "transform_id", "ts", "duration", "values", "label")
+    val plain = CsvSink.formatFeatures(notes,
+      CsvSink.Options(omitFilename = true)).orderBy("ts")
+      .select("line").as[String].collect()
+    assert(plain(0) == "0.000000000,1.750000000,0,\"n1\"")
+    val endt = CsvSink.formatFeatures(notes,
+      CsvSink.Options(endTimes = true, omitFilename = true)).orderBy("ts")
+      .select("line").as[String].collect()
+    // golden shape: tests/test-csv-writer/expected/notes-regions-end-times.csv
+    assert(endt(0) == "0.000000000,1.750000000,0,\"n1\"")
+    assert(endt(1) == "1.000000000,1.500000000,0.1,\"n2\"")
+  }
+
+  test("sample-timing prints integer positions; custom separator; digits") {
+    val lines = CsvSink.formatFeatures(curve,
+      CsvSink.Options(sampleTiming = true, omitFilename = true,
+        separator = "@", digits = 2))
+      .orderBy("ts").select("line").as[String].collect()
+    assert(lines(0) == "0@0@\"1 of 3\"")
+    assert(lines(1) == "750@0.10@\"2 of 3\"" || lines(1) == "750@0.1@\"2 of 3\"")
+  }
+
+  test("one-file write: ordered, single file, overwrite policy enforced") {
+    val dir = Files.createTempDirectory("graftcsv").toString
+    val path = s"$dir/out.csv"
+    val lines = CsvSink.formatFeatures(curve, CsvSink.Options())
+    CsvSink.writeOneFile(lines, path, CsvSink.Options())
+    val content = Files.readAllLines(Paths.get(path))
+    assert(content.size() == 3)
+    assert(content.get(0).startsWith("\"docA\",0.000000000"))
+    intercept[IllegalStateException] {
+      CsvSink.writeOneFile(lines, path, CsvSink.Options()) // K8: refuse
+    }
+    CsvSink.writeOneFile(lines, path, CsvSink.Options(append = true))
+    assert(Files.readAllLines(Paths.get(path)).size() == 6)
+  }
+
+  test("per-track files: naming, pre-flight collision check") {
+    val dir = Files.createTempDirectory("graftcsv2").toString
+    val lines = CsvSink.formatFeatures(
+      curve.withColumn("transform_id", lit("p:x:y")), CsvSink.Options())
+    val files = CsvSink.writePerTrack(lines, dir, CsvSink.Options())
+    // K8 naming: ':' -> '_'
+    assert(files == Seq(s"$dir/docA_p_x_y.csv"))
+    intercept[IllegalStateException] {
+      CsvSink.writePerTrack(lines, dir, CsvSink.Options())
+    }
+  }
+
+  test("summary rows match the reference summary CSV layout") {
+    val sums = Seq(("docA", "t1", 0L, (9.75 * S).toLong, "mean",
+      Seq(0.553846), "(mean value, continuous-time average)"))
+      .toDF("doc_id", "transform_id", "seg_start_ns", "seg_duration_ns",
+        "summary_name", "values", "label")
+    val line = CsvSink.formatSummaries(sums, CsvSink.Options())
+      .select("line").as[String].collect().head
+    // golden shape: testplug-curve-vsr-mean.csv:20
+    assert(line ==
+      "\"docA\",0.000000000,9.750000000,mean,0.553846,\"(mean value, continuous-time average)\"")
+  }
+
+  test("JAMS JSON: NaN values become strings, document is valid-ish") {
+    val feats = Seq(
+      ("d", "t", 0L, None: Option[Long], Seq(Float.NaN, 1.5f), "x"))
+      .toDF("doc_id", "transform_id", "ts", "duration", "values", "label")
+    val j = JsonSink.toJams(feats).select("jams").as[String].collect().head
+    assert(j.contains("\"NaN\""))
+    assert(j.contains("\"file_metadata\""))
+    assert(j.contains("\"annotations\""))
+    // parses back as JSON
+    val parsed = org.json4s.jackson.JsonMethods.parse(j)
+    assert((parsed \ "annotations") != org.json4s.JNothing)
+  }
+}
