@@ -88,11 +88,12 @@ object EnergyExtractor extends FeatureExtractor {
     val (step, block, rate) = resolve(spec)
     val sens = spec.parameters.getOrElse("sensitivity", 40.0)
     val thr = spec.parameters.getOrElse("threshold", 3.0)
-    // one array-local pass computes the energy curve; onsets derive from it
+    // one array-local pass computes the energy curve (native FrameAgg
+    // expression — the HOF chain is interpreted and ~100x slower);
+    // onsets derive from the same array
     val withDf = seqs.withColumn("df",
-      Framing.mapFrames(col("tokens"), col("n_tok"), step, block) { slice =>
-        TokenFeatures.energy(Framing.applyTaper(slice, spec.windowType, block))
-      })
+      graft.functions.FrameAgg.energy(col("tokens"), step, block,
+        Some(Framing.taperCoefficients(spec.windowType, block).toSeq)))
     val curve = withDf
       .select(col("doc_id"), posexplode(col("df")))
       .select(col("doc_id"), lit("detectionfunction").as("output"),

@@ -1,0 +1,59 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.AsOf
+import graft.sources.SequenceGen
+
+/** The headline benchmark pipeline (BASELINE.json metric): sequences/sec
+  * through the as-of join + window-feature stage over the synthetic token
+  * table.
+  *
+  * Stages (all one DAG):
+  *   1. scan/generate sequences (doc_id, tokens, n_tok, source)
+  *   2. window-feature stage: per-frame energy over sliding frames
+  *      (array-local HOF, no shuffle) -> feature timeline (doc_id, ts, v)
+  *   3. query timeline: deterministic pseudo-random ts per doc
+  *   4. as-of join (zero leakage) queries -> latest prior frame feature
+  *   5. sanity aggregate (count + checksum) to force full evaluation
+  */
+object Pipelines {
+
+  def asofFeaturePipeline(spark: SparkSession, nDocs: Long,
+      step: Int = 8, block: Int = 16, queriesPerDoc: Int = 4): DataFrame =
+    asofFeaturePipelineOver(SequenceGen.generate(spark, nDocs).toDF(),
+      step, block, queriesPerDoc)
+
+  /** Same pipeline over an existing sequences table (the bench materializes
+    * the generated table to parquet once so both parallelism levels scan
+    * identical bytes — and so the measured stage is scan + features + join,
+    * not synthetic-data generation). */
+  def asofFeaturePipelineOver(seqs: DataFrame,
+      step: Int = 8, block: Int = 16, queriesPerDoc: Int = 4): DataFrame = {
+    // window-feature stage: per-frame mean-square token value — native
+    // FrameAgg expression (codegen'd primitive loop), array-local, no shuffle
+    val features = seqs
+      .withColumn("df",
+        graft.functions.FrameAgg.energy(col("tokens"), step, block))
+      .select(col("doc_id"), posexplode(col("df")))
+      .select(col("doc_id"), (col("pos") * step * 1000000L).as("ts"),
+        col("col").as("fv"))
+    // query timeline: a few deterministic ts per doc over the doc's span
+    val queries = seqs
+      .select(col("doc_id"), col("n_tok"),
+        explode(sequence(lit(0), lit(queriesPerDoc - 1))).as("k"))
+      .select(col("doc_id"),
+        pmod(abs(xxhash64(col("doc_id"), col("k"))),
+          greatest(col("n_tok").cast("long"), lit(1L)) * 1000000L).as("ts"))
+    AsOf.join(queries, features, "doc_id", "ts", Seq("fv"))
+  }
+
+  /** Force full evaluation; returns (queryRows, matchedRows, checksum). */
+  def runAndChecksum(df: DataFrame): (Long, Long, Double) = {
+    val r = df.agg(
+      count(lit(1)).as("n"),
+      count(col("fv")).as("matched"),
+      coalesce(sum(col("fv")), lit(0.0)).as("chk")).collect()(0)
+    (r.getLong(0), r.getLong(1), r.getDouble(2))
+  }
+}

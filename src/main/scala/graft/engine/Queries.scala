@@ -198,13 +198,10 @@ object Queries {
   def q12Frames(s: SparkSession, dir: String): DataFrame =
     tokenized(s, dir)
       .where(col("n_tok") >= 16)
-      .select(col("doc_id"), col("tokens"),
-        posexplode(sequence(lit(0L), ((col("n_tok") - 16) / 8).cast("long"))))
-      .select(col("doc_id"), col("col").as("frame"),
-        round(
-          aggregate(slice(col("tokens"), (col("col") * 8 + 1).cast("int"), lit(16)),
-            lit(0L), (a, x) => a + x).cast("double") / 16.0,
-          6).as("frame_mean"))
+      .select(col("doc_id"),
+        posexplode(graft.functions.FrameAgg.mean(col("tokens"), 8, 16)))
+      .select(col("doc_id"), col("pos").cast("long").as("frame"),
+        round(col("col"), 6).as("frame_mean"))
       .orderBy("doc_id", "frame")
 
   // ------------------------------------------------------------- wiring

@@ -38,11 +38,11 @@ object Queries2 {
       .orderBy("doc_id")
 
   // --------------------------------------------------------------- q15
-  /** n-gram (3-shingle) Jaccard near-dup pairs, blocked by (lang,
-    * n_chars bucket). */
+  /** n-gram (3-shingle) Jaccard near-dup pairs over token sequences,
+    * blocked by (lang, n_chars bucket). */
   def q15NgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(
-      docsTok(s, dir), "doc_id", "words", 3,
+      docsTok(s, dir), "doc_id", "tokens", 3,
       Seq(col("lang"), floor(col("n_chars") / 100).as("lenb")), 0.2)
       .withColumn("jaccard", round(col("jaccard"), 6))
       .orderBy("id_a", "id_b")
@@ -189,13 +189,13 @@ object Queries2 {
                tk -> ((2*h+1)*tk + (h*h+7)) % 1000000007)) AS VARCHAR)), ',') AS sig
          FROM t ORDER BY doc_id""",
     "q15_ngram_jaccard" ->
-      """WITH s AS (
+      s"""WITH s AS (
            SELECT doc_id, lang, n_chars // 100 AS lenb,
-             list_distinct(list_transform(
-               range(greatest(len(ws) - 2, 1)),
-               i -> array_to_string(ws[i+1:i+3], ' '))) AS sh
-           FROM (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS ws
-                 FROM documents))
+             list_distinct(list_transform(range(len(toks) - 2),
+               i -> (toks[i+1]::BIGINT * 1031 + toks[i+2]) * 1031 + toks[i+3])) AS sh
+           FROM (SELECT doc_id, lang, n_chars, $toksSql AS toks
+                 FROM documents)
+           WHERE len(toks) >= 3)
          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
              greatest(len(list_distinct(a.sh || b.sh)), 1), 6) AS jaccard

