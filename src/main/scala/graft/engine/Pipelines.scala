@@ -48,6 +48,34 @@ object Pipelines {
     AsOf.join(queries, features, "doc_id", "ts", Seq("fv"))
   }
 
+  /** Co-located fast path: when the feature timeline is a dense GRID
+    * (OneSamplePerStep timestamps, exactly the reference's dense outputs,
+    * runner/FeatureExtractionManager.cpp:941) and queries derive from the
+    * same row, the as-of join degenerates to an index lookup into the
+    * frame array: latest frame ts <= q.ts is frame floor(q.ts/step). ZERO
+    * shuffle — the 10^12-scale plan when the table is bucketed by entity.
+    * Sparse (vsr) timelines still need the general sort-merge path. */
+  def asofColocatedPipeline(seqs: DataFrame,
+      step: Int = 8, block: Int = 16, queriesPerDoc: Int = 4): DataFrame = {
+    val stepNs = step * 1000000L
+    seqs
+      .withColumn("df", graft.functions.FrameAgg.energy(col("tokens"), step, block))
+      .select(col("doc_id"), col("df"), col("n_tok"),
+        explode(sequence(lit(0), lit(queriesPerDoc - 1))).as("k"))
+      .select(col("doc_id"), col("df"),
+        pmod(abs(xxhash64(col("doc_id"), col("k"))),
+          greatest(col("n_tok").cast("long"), lit(1L)) * 1000000L).as("ts"))
+      .select(col("doc_id"), col("ts"),
+        when(size(col("df")) > 0,
+          element_at(col("df"),
+            least(floor(col("ts") / stepNs).cast("int") + 1, size(col("df")))))
+          .as("fv"),
+        when(size(col("df")) > 0,
+          least(floor(col("ts") / stepNs).cast("long"),
+            size(col("df")).cast("long") - 1L) * stepNs)
+          .as("matched_ts"))
+  }
+
   /** Force full evaluation; returns (queryRows, matchedRows, checksum). */
   def runAndChecksum(df: DataFrame): (Long, Long, Double) = {
     val r = df.agg(

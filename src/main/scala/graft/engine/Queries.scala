@@ -185,12 +185,22 @@ object Queries {
   /** n_tok-normalized token histogram (analog of S7 peak-normalisation +
     * grid outputs), exploded to rows for the oracle; the engine-internal
     * array-local form is graft.functions.TokenFeatures.histogram. */
-  def q11Histogram(s: SparkSession, dir: String): DataFrame =
+  def q11Histogram(s: SparkSession, dir: String): DataFrame = {
+    // bucket rows come from a broadcast join, NOT explode: Generate
+    // re-evaluates an interpreted-HOF child per OUTPUT row (measured 16x);
+    // the join + element_at form does the histogram work once per doc
+    val buckets = s.range(16).toDF("bucket")
     tokenized(s, dir)
-      .select(col("doc_id"), col("n_tok"), explode(col("tokens")).as("tok"))
-      .groupBy(col("doc_id"), pmod(col("tok"), lit(16)).as("bucket"))
-      .agg(round(count(lit(1)).cast("double") / first(col("n_tok")), 6).as("freq"))
+      .select(col("doc_id"), col("n_tok"),
+        graft.functions.TokenHistogram(col("tokens"), 16).as("hist"))
+      .crossJoin(broadcast(buckets))
+      .select(col("doc_id"), col("bucket"),
+        (element_at(col("hist"), col("bucket").cast("int") + 1).cast("double") /
+          col("n_tok")).as("freq"))
+      .where(col("freq") > 0)
+      .withColumn("freq", round(col("freq"), 6))
       .orderBy("doc_id", "bucket")
+  }
 
   // --------------------------------------------------------------- q12
   /** Sliding-window frame features (W1): step=8, block=16 over tokens;

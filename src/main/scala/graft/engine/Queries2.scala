@@ -123,10 +123,14 @@ object Queries2 {
   def q22PeakNorm(s: SparkSession, dir: String): DataFrame = {
     val h = docsTok(s, dir).select(col("doc_id"),
       TokenFeatures.histogram(col("tokens"), col("n_tok"), 16).as("hist"))
+    // broadcast-join bucket fan-out instead of posexplode: Generate would
+    // re-evaluate the interpreted normalize chain per output row (16x)
+    val buckets = s.range(16).toDF("bucket")
     Multiplex.peakNormalize(h, "hist")
-      .select(col("doc_id"), posexplode(col("hist")))
-      .select(col("doc_id"), col("pos").as("bucket"),
-        round(col("col"), 6).as("norm_freq"))
+      .crossJoin(broadcast(buckets))
+      .select(col("doc_id"), col("bucket"),
+        round(element_at(col("hist"), col("bucket").cast("int") + 1), 6)
+          .as("norm_freq"))
       .orderBy("doc_id", "bucket")
   }
 

@@ -57,19 +57,20 @@ object AsOf {
     require(valueCols.forall(!qCols.contains(_)),
       s"valueCols ${valueCols.filter(qCols.contains)} collide with query columns")
     val qOther = qCols.filterNot(c => c == entityCol || c == tsCol)
-    val carried = valueCols :+ "matched_ts"
 
+    // Shuffle-byte diet: matched_ts is NOT carried as a column — it is
+    // reconstructed post-shuffle as last(when(tag=feature, ts)); at 10^12
+    // rows every shuffled byte counts (measured: this exchange is the
+    // pipeline's dominant cost on IO-constrained hosts).
     val fSel: Seq[Column] =
       Seq(col(entityCol), col(tsCol), lit(if (strict) 2 else 0).as("__tag")) ++
         valueCols.map(c => col(c).as(s"__c_$c")) ++
-        Seq(col(tsCol).as("__c_matched_ts")) ++
         qOther.map(c => lit(null).cast(queries.schema(c).dataType).as(c))
     val fSide = features.select(fSel: _*)
 
     val qSel: Seq[Column] =
       Seq(col(entityCol), col(tsCol), lit(1).as("__tag")) ++
         valueCols.map(c => lit(null).cast(features.schema(c).dataType).as(s"__c_$c")) ++
-        Seq(lit(null).cast(features.schema(tsCol).dataType).as("__c_matched_ts")) ++
         qOther.map(col)
     val qSide = queries.select(qSel: _*)
 
@@ -77,13 +78,19 @@ object AsOf {
       .orderBy(col(tsCol).asc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    val fTag = if (strict) 2 else 0
+    val carriedExprs =
+      valueCols.map(c => last(col(s"__c_$c"), ignoreNulls = true).over(w).as(s"__v_$c")) :+
+        last(when(col("__tag") === fTag, col(tsCol)), ignoreNulls = true)
+          .over(w).as("__v_matched_ts")
+
     val filled = fSide.unionByName(qSide)
-      .select(col("*") +: carried.map(c =>
-        last(col(s"__c_$c"), ignoreNulls = true).over(w).as(s"__v_$c")): _*)
+      .select(col("*") +: carriedExprs: _*)
       .where(col("__tag") === 1)
 
     val outSel: Seq[Column] =
-      qCols.map(col) ++ carried.map(c => col(s"__v_$c").as(c))
+      qCols.map(col) ++ valueCols.map(c => col(s"__v_$c").as(c)) :+
+        col("__v_matched_ts").as("matched_ts")
     filled.select(outSel: _*)
   }
 

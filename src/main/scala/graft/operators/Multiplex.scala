@@ -62,11 +62,19 @@ object Multiplex {
 
   /** Peak normalisation (reference `-n`, runner/main.cpp:774-776): scale a
     * value array so its absolute max is 1.0 (no-op on all-zero input,
-    * mirroring golden tests/test-audioformat/expected/norm-on.csv). */
+    * mirroring golden tests/test-audioformat/expected/norm-on.csv).
+    *
+    * The peak is materialized as its own column BEFORE the per-element
+    * lambda: interpreted expression eval has no common-subexpression
+    * elimination, so an expensive expression captured inside a HOF lambda
+    * re-evaluates once per array element (measured 16x blowup here). */
   def peakNormalize(df: DataFrame, valuesCol: String): DataFrame = {
-    val peak = array_max(transform(col(valuesCol), v => abs(v.cast("double"))))
-    df.withColumn(valuesCol,
-      when(peak > 0, transform(col(valuesCol), v => v.cast("double") / peak))
-        .otherwise(transform(col(valuesCol), v => v.cast("double"))))
+    df.withColumn("__peak",
+      array_max(transform(col(valuesCol), v => abs(v.cast("double")))))
+      .withColumn(valuesCol,
+        when(col("__peak") > 0,
+          transform(col(valuesCol), v => v.cast("double") / col("__peak")))
+          .otherwise(transform(col(valuesCol), v => v.cast("double"))))
+      .drop("__peak")
   }
 }
