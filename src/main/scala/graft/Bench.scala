@@ -113,15 +113,19 @@ object Bench {
     results("scaling_efficiency") = efficiency
     results("scaling_efficiency_colocated") = (tLowColoc / tHighColoc) / ratio
 
-    // --- oracle-gate queries at full parallelism ---
+    // --- oracle-gate queries at full parallelism (min of 2: the shared
+    // host has multi-second noise bursts) ---
     spark = session(cpus)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val (t, _) = time {
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
+      val s = spark
+      val ts = (1 to 2).map { _ =>
+        time {
+          try fn(s, sfDir).count()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
+        }._1
       }
-      results(name) = t
+      results(name) = ts.min
     }
     spark.stop()
 
