@@ -1,0 +1,188 @@
+package graft.engine
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.SummaryType
+import graft.sinks.{CsvSink, JsonSink}
+import graft.sources.Tables
+
+/** spark-submit entry point mirroring the reference CLI surface
+  * (runner/main.cpp:283-386):
+  *
+  *   graft.engine.Main
+  *     --input PATH [--recursive] [--manifest PATH]
+  *     --transforms FILE[.json|.xml] (repeatable)
+  *     [--default-transform PLUGIN[:OUTPUT]]          (-d)
+  *     --writer csv|jams|xml|parquet --output PATH
+  *     [--summaries s1,s2] [--summary-only]           (-S)
+  *     [--segments a,b,...] [--segments-from FILE]
+  *     [--normalize]                                  (-n)
+  *     [--one-file] [--force] [--append] [--omit-filename]
+  *     [--fill-ends] [--end-times] [--sample-timing]
+  *     [--digits N] [--separator C]
+  *     [--checkpoint-buckets N]                       (resumable run)
+  *     [--list] [--skeleton PLUGIN]
+  *
+  * Construction order mirrors the reference lifecycle (SURVEY.md §3):
+  * parse CLI -> writer pre-flight -> source expansion -> transform
+  * compile -> one shared-scan DAG -> extract -> summaries -> flush.
+  */
+object Main {
+
+  case class Config(
+      input: String = "",
+      recursive: Boolean = false,
+      manifest: Option[String] = None,
+      transformFiles: Seq[String] = Nil,
+      defaultTransform: Option[String] = None,
+      writer: String = "csv",
+      output: String = "",
+      summaries: Seq[SummaryType] = Nil,
+      summaryOnly: Boolean = false,
+      segments: Seq[Long] = Nil,
+      normalize: Boolean = false,
+      oneFile: Boolean = false,
+      csv: CsvSink.Options = CsvSink.Options(),
+      checkpointBuckets: Int = 0,
+      list: Boolean = false,
+      skeleton: Option[String] = None)
+
+  def parseArgs(args: Seq[String]): Config = {
+    def loop(rest: List[String], c: Config): Config = rest match {
+      case Nil => c
+      case "--input" :: v :: t => loop(t, c.copy(input = v))
+      case "--recursive" :: t => loop(t, c.copy(recursive = true))
+      case "--manifest" :: v :: t => loop(t, c.copy(manifest = Some(v)))
+      case "--transforms" :: v :: t =>
+        loop(t, c.copy(transformFiles = c.transformFiles :+ v))
+      case "--default-transform" :: v :: t =>
+        loop(t, c.copy(defaultTransform = Some(v)))
+      case "--writer" :: v :: t => loop(t, c.copy(writer = v))
+      case "--output" :: v :: t => loop(t, c.copy(output = v))
+      case "--summaries" :: v :: t =>
+        loop(t, c.copy(summaries = v.split(",").toSeq.map(SummaryType.fromName)))
+      case "--summary-only" :: t => loop(t, c.copy(summaryOnly = true))
+      case "--segments" :: v :: t =>
+        loop(t, c.copy(segments =
+          v.split(",").toSeq.map(s => TransformSpecs.parseTime(s))))
+      case "--segments-from" :: v :: t =>
+        loop(t, c.copy(segments = TransformSpecs.parseSegments(
+          Files.readString(Paths.get(v)))))
+      case "--normalize" :: t => loop(t, c.copy(normalize = true))
+      case "--one-file" :: t => loop(t, c.copy(oneFile = true))
+      case "--force" :: t => loop(t, c.copy(csv = c.csv.copy(force = true)))
+      case "--append" :: t => loop(t, c.copy(csv = c.csv.copy(append = true)))
+      case "--omit-filename" :: t =>
+        loop(t, c.copy(csv = c.csv.copy(omitFilename = true)))
+      case "--fill-ends" :: t => loop(t, c.copy(csv = c.csv.copy(fillEnds = true)))
+      case "--end-times" :: t => loop(t, c.copy(csv = c.csv.copy(endTimes = true)))
+      case "--sample-timing" :: t =>
+        loop(t, c.copy(csv = c.csv.copy(sampleTiming = true)))
+      case "--digits" :: v :: t => loop(t, c.copy(csv = c.csv.copy(digits = v.toInt)))
+      case "--separator" :: v :: t =>
+        loop(t, c.copy(csv = c.csv.copy(separator = v)))
+      case "--checkpoint-buckets" :: v :: t =>
+        loop(t, c.copy(checkpointBuckets = v.toInt))
+      case "--list" :: t => loop(t, c.copy(list = true))
+      case "--skeleton" :: v :: t => loop(t, c.copy(skeleton = Some(v)))
+      case other :: _ =>
+        throw new IllegalArgumentException(s"unknown argument: $other")
+    }
+    loop(args.toList, Config())
+  }
+
+  def loadSpecs(c: Config): Seq[graft.model.TransformSpec] = {
+    val fromFiles = c.transformFiles.flatMap { f =>
+      val text = Files.readString(Paths.get(f))
+      if (f.endsWith(".xml")) Seq(TransformSpecs.parseXml(text))
+      else TransformSpecs.parseJson(text)
+    }
+    val fromDefault = c.defaultTransform.map { d =>
+      // -d plugin[:output] — skeleton transform (runner/main.cpp:704-719)
+      val parts = d.split("@")
+      val pluginAndOut = parts(0)
+      val idx = pluginAndOut.lastIndexOf(":")
+      val (plugin, output) =
+        if (Engine.registry.contains(pluginAndOut)) (pluginAndOut, "")
+        else (pluginAndOut.substring(0, idx), pluginAndOut.substring(idx + 1))
+      graft.model.TransformSpec(id = d, plugin = plugin, output = output)
+    }
+    val specs0 = fromFiles ++ fromDefault
+    if (c.summaries.nonEmpty)
+      // CLI-wide -S: one summary spec per (transform, type), sharing the
+      // transform's extraction pass (FeatureExtractionManager.cpp:998-1011)
+      specs0.flatMap(s => c.summaries.map(t =>
+        s.copy(id = s"${s.id}:${t.name}", summaryType = Some(t))))
+    else specs0
+  }
+
+  /** Run with an externally provided session (testable). */
+  def run(spark: SparkSession, c: Config): Unit = {
+    if (c.list) { Engine.list.foreach(println); return }
+    c.skeleton.foreach { p => println(TransformSpecs.skeleton(p)); return }
+    require(c.input.nonEmpty, "--input required")
+    require(c.output.nonEmpty, "--output required")
+
+    var seqs =
+      if (c.recursive) Tables.sequencesRecursive(spark, c.input)
+      else Tables.sequences(spark, c.input)
+    c.manifest.foreach { m =>
+      seqs = Tables.fromManifest(seqs, spark.read.parquet(m))
+    }
+    if (c.normalize) {
+      // peak normalisation analog on the token histogram features happens
+      // per-extractor; -n on raw sequences is a no-op for integer tokens
+      // (documented divergence: the reference scales float samples)
+    }
+
+    val specs = loadSpecs(c)
+    require(specs.nonEmpty, "no transforms given (--transforms/--default-transform)")
+    val features = Engine.run(seqs, specs)
+    val wantSummaries = specs.exists(_.summaryType.nonEmpty)
+
+    def writeFeatures(): Unit = c.writer match {
+      case "parquet" =>
+        if (c.checkpointBuckets > 0) {
+          Checkpoint.runBuckets(spark, c.output, c.checkpointBuckets,
+            Map("input" -> c.input,
+              "transforms" -> specs.map(_.id).mkString(","))) { b =>
+            features.where(Checkpoint.bucketOf("doc_id", c.checkpointBuckets) === b)
+          }
+          ()
+        } else features.write.mode(if (c.csv.force) "overwrite" else "errorifexists")
+          .parquet(c.output)
+      case "csv" =>
+        val lines = CsvSink.formatFeatures(
+          features.withColumn("doc_id", col("doc_id").cast("string")), c.csv)
+        if (c.oneFile) CsvSink.writeOneFile(lines, c.output, c.csv)
+        else { CsvSink.writePerTrack(lines, c.output, c.csv); () }
+      case "jams" => JsonSink.writeJsonl(
+        features.withColumn("doc_id", col("doc_id").cast("string")), c.output)
+      case "xml" =>
+        graft.sinks.XmlSink.toXmlRows(features).select("xml")
+          .coalesce(1).write.mode("overwrite").text(c.output)
+      case w => throw new IllegalArgumentException(s"unknown writer: $w")
+    }
+
+    if (!c.summaryOnly || !wantSummaries) writeFeatures()
+    if (wantSummaries) {
+      val sums = Engine.summarize(features, specs, c.segments)
+      val lines = CsvSink.formatSummaries(
+        sums.withColumn("doc_id", col("doc_id").cast("string")), c.csv)
+      val target = if (c.summaryOnly) c.output
+        else c.output.stripSuffix(".csv") + "_summaries.csv"
+      CsvSink.writeOneFile(lines, target, c.csv)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val c = parseArgs(args.toSeq)
+    val spark = SparkSession.builder()
+      .appName("graft-engine")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, c) finally spark.stop()
+  }
+}

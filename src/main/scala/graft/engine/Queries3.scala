@@ -1,0 +1,178 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.model.TransformSpec
+import graft.operators.{Dedup, Multiplex, Similarity, Windows}
+
+/** Correctness-gate queries, part 3: minhash-LSH candidate pairs, fixed
+  * segment boundaries, fill-ends, ANN (rows-only), positional alignment,
+  * and an end-to-end Engine run (spec parsing -> shared-scan plan ->
+  * extraction) with a full SQL oracle. */
+object Queries3 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").withColumn("ts", unix_micros(col("ts").cast("timestamp")))
+
+  private def docsTok(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("tokens", transform(split(col("text"), " "), w => length(w)))
+      .withColumn("n_tok", size(col("tokens")))
+
+  // --------------------------------------------------------------- q25
+  /** MinHash + banded LSH candidate pairs (8 hashes, 4 bands of 2), with
+    * the portable band key so DuckDB reproduces the bucketing exactly. */
+  def q25MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(docsTok(s, dir), "doc_id", "tokens",
+      numHashes = 8, bands = 4, threshold = 0.25,
+      maxBucket = 1000, portableBucketKey = true)
+      .orderBy("id_a", "id_b")
+
+  // --------------------------------------------------------------- q26
+  /** Fixed-boundary segmented summaries (the reference `--segments`):
+    * boundaries at 2024-01-10 / 2024-01-20 UTC. */
+  def q26Segments(s: SparkSession, dir: String): DataFrame = {
+    val b1 = 1704844800000000L
+    val b2 = 1705708800000000L
+    Windows.segment(ev(s, dir), "ts", Seq(b1, b2))
+      .groupBy(col("user_id"), col("seg_start"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_v"))
+      .orderBy("user_id", "seg_start")
+  }
+
+  // --------------------------------------------------------------- q27
+  /** fill-ends projection (reference Lab writer rule): end = next event's
+    * ts on the user timeline, last event's end = its own ts. */
+  def q27FillEnds(s: SparkSession, dir: String): DataFrame =
+    Windows.fillEnds(ev(s, dir), "user_id", "ts")
+      .select("event_id", "user_id", "ts", "end_ts")
+      .orderBy("event_id")
+
+  // --------------------------------------------------------------- q28
+  /** Hyperplane-LSH ANN top-5 (multiprobe). The hyperplanes are
+    * xxhash64-derived and not reproducible in ANSI SQL -> rows-only check
+    * (no oracle entry); recall vs brute force is asserted in ScalaTest. */
+  def q28AnnTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    Similarity.annTopK(
+      e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("v").as("qv")),
+      e.select(col("vec_id").as("cid"), col("v").as("cv")),
+      dim = 64, k = 5).orderBy("qid", "rk")
+  }
+
+  // --------------------------------------------------------------- q29
+  /** Positional full-outer alignment (the multiplex zip-join J1 in
+    * relational form): purchases vs errors by per-type row position,
+    * missing positions contribute 0. */
+  def q29AlignByPos(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    def seq(tpe: String) = e.where(col("event_type") === tpe)
+      .select(col("event_id"), col("value"))
+      .withColumn("pos", row_number().over(Window.orderBy(col("event_id"))))
+      .select("pos", "value")
+    Multiplex.alignByPosition(seq("purchase"), seq("error"),
+      "purchase_v", "error_v")
+      .select(col("pos"), round(col("purchase_v"), 6).as("purchase_v"),
+        round(col("error_v"), 6).as("error_v"))
+      .orderBy("pos")
+  }
+
+  // --------------------------------------------------------------- q30
+  /** End-to-end Engine run with a full oracle: JSON transform spec ->
+    * shared-scan plan -> energy extractor (rectangular taper, step 8,
+    * block 16) over document token sequences. Values are k/16 with k
+    * integer (word-length squares), so float32 storage is exact. */
+  def q30EngineEnergy(s: SparkSession, dir: String): DataFrame = {
+    val specs = TransformSpecs.parseJson(
+      """[{"id": "e2e", "plugin": "graft:energy",
+         |  "output": "detectionfunction", "step_size": 8,
+         |  "block_size": 16, "window_type": "rectangular"}]""".stripMargin)
+    val seqs = docsTok(s, dir).select(
+      col("doc_id").cast("string").as("doc_id"),
+      col("tokens"), col("n_tok"), col("source"))
+    Engine.run(seqs, specs)
+      .select(col("doc_id"), col("ts"),
+        round(element_at(col("values"), 1).cast("double"), 6).as("energy"))
+      .orderBy("doc_id", "ts")
+  }
+
+  // ------------------------------------------------------------- wiring
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_minhash_lsh" -> q25MinhashLsh,
+    "q26_segments" -> q26Segments,
+    "q27_fill_ends" -> q27FillEnds,
+    "q28_ann_topk" -> q28AnnTopK,
+    "q29_align_by_pos" -> q29AlignByPos,
+    "q30_engine_energy" -> q30EngineEnergy)
+
+  private val toksSql =
+    "list_transform(string_split(text, ' '), w -> length(w))"
+
+  val oracle: Map[String, String] = Map(
+    "q25_minhash_lsh" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         sig AS (
+           SELECT doc_id AS id,
+             list_transform(range(8), h ->
+               list_min(list_transform(toks,
+                 tk -> ((2*h+1)*tk + (h*h+7)) % 1000000007))) AS sig
+           FROM t),
+         banded AS (
+           SELECT id, sig, b,
+             array_to_string(list_transform(sig[b*2+1:b*2+2],
+               x -> CAST(x AS VARCHAR)), ',') AS bucket
+           FROM sig, range(4) r(b)),
+         pairs AS (
+           SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             CAST(len(list_filter(range(8),
+               i -> a.sig[i+1] = b.sig[i+1])) AS DOUBLE) / 8 AS est_jaccard
+           FROM banded a JOIN banded b
+             ON a.b = b.b AND a.bucket = b.bucket AND a.id < b.id)
+         SELECT id_a, id_b, est_jaccard FROM pairs
+         WHERE est_jaccard >= 0.25 ORDER BY 1, 2""",
+    "q26_segments" ->
+      """WITH g AS (
+           SELECT user_id, value,
+             CASE WHEN epoch_us(ts) >= 1705708800000000 THEN 1705708800000000
+                  WHEN epoch_us(ts) >= 1704844800000000 THEN 1704844800000000
+                  ELSE 0 END AS seg_start
+           FROM events)
+         SELECT user_id, seg_start, count(*) AS n,
+                round(sum(value), 6) AS sum_v
+         FROM g GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q27_fill_ends" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts,
+                coalesce(lead(epoch_us(ts)) OVER
+                  (PARTITION BY user_id ORDER BY ts), epoch_us(ts)) AS end_ts
+         FROM events ORDER BY event_id""",
+    "q29_align_by_pos" ->
+      """WITH p AS (
+           SELECT row_number() OVER (ORDER BY event_id) AS pos, value
+           FROM events WHERE event_type = 'purchase'),
+         e AS (
+           SELECT row_number() OVER (ORDER BY event_id) AS pos, value
+           FROM events WHERE event_type = 'error')
+         SELECT coalesce(p.pos, e.pos) AS pos,
+                round(coalesce(p.value, 0.0), 6) AS purchase_v,
+                round(coalesce(e.value, 0.0), 6) AS error_v
+         FROM p FULL OUTER JOIN e ON p.pos = e.pos
+         ORDER BY pos""",
+    "q30_engine_energy" ->
+      s"""WITH t AS (SELECT doc_id::VARCHAR AS doc_id, $toksSql AS toks
+                    FROM documents),
+         f AS (
+           SELECT doc_id, toks,
+                  unnest(range((len(toks) - 16) // 8 + 1)) AS frame
+           FROM t WHERE len(toks) >= 16)
+         SELECT doc_id, frame * 8000000 AS ts,
+                round(CAST(list_sum(list_transform(
+                  toks[frame*8+1 : frame*8+16], x -> x*x)) AS DOUBLE) / 16.0,
+                  6) AS energy
+         FROM f ORDER BY 1, 2""")
+}

@@ -42,16 +42,24 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       threshold: Double = 0.5,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000,
+      portableBucketKey: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val sig = df
       .select(col(idCol).as("id"),
         TokenFeatures.minhashSignature(col(tokensCol), numHashes).as("sig"))
-    // band key = (band index, hash of that band's signature slice)
+    // band key = (band index, digest of that band's signature slice);
+    // portableBucketKey uses the slice values verbatim (reproducible in
+    // any engine for the oracle) instead of Spark's murmur3
+    def bandKey(b: org.apache.spark.sql.Column) = {
+      val sl = slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
+      if (portableBucketKey)
+        concat_ws(",", transform(sl, x => x.cast("string")))
+      else hash(sl, b).cast("string")
+    }
     val banded = sig.select(col("id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b => bandKey(b))))
       .withColumnRenamed("col", "bucket")
       .withColumnRenamed("pos", "band")
     // cap degenerate buckets (see scale note above)

@@ -60,6 +60,32 @@ object Multiplex {
       .withColumn(valueB, coalesce(col(valueB), lit(0.0)))
   }
 
+  /** Channel mixdown projection (P1, FeatureExtractionManager.cpp:914-939):
+    * target 1 channel = per-position mean across channels; target N =
+    * pad with 0-channels / truncate. Array-local over a channels column
+    * (array<array<int>>), no shuffle. */
+  def mixdown(df: DataFrame, channelsCol: String, targetChannels: Int = 1): DataFrame = {
+    if (targetChannels == 1) {
+      val n = size(col(channelsCol))
+      df.withColumn("mixed",
+        transform(
+          sequence(lit(0), size(element_at(col(channelsCol), 1)) - 1),
+          p => aggregate(col(channelsCol), lit(0.0),
+            (acc, ch) => acc + element_at(ch, p + 1).cast("double")) /
+            n.cast("double")))
+    } else {
+      // pad with zero-channels or truncate to targetChannels
+      val zeroCh = transform(
+        sequence(lit(1), size(element_at(col(channelsCol), 1))), _ => lit(0))
+      val padded = when(size(col(channelsCol)) >= targetChannels,
+        slice(col(channelsCol), 1, targetChannels))
+        .otherwise(concat(col(channelsCol),
+          transform(sequence(lit(1), lit(targetChannels) - size(col(channelsCol))),
+            _ => zeroCh)))
+      df.withColumn(channelsCol, padded)
+    }
+  }
+
   /** Peak normalisation (reference `-n`, runner/main.cpp:774-776): scale a
     * value array so its absolute max is 1.0 (no-op on all-zero input,
     * mirroring golden tests/test-audioformat/expected/norm-on.csv).

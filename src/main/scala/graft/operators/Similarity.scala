@@ -59,20 +59,28 @@ object Similarity {
   }
 
   /** LSH-bucketed ANN top-k: candidates share a hyperplane bucket with the
-    * query (multiprobe: also buckets at hamming distance 1), exact re-rank
-    * inside candidates. Recall < 1 by construction; use for the scale path. */
+    * query, exact re-rank inside candidates. `probes` controls multiprobe
+    * depth: 0 = exact bucket only, 1 = +1-bit flips, 2 = +2-bit flips
+    * (sign bits near the decision boundary are the usual LSH error — on
+    * near-uniform random embeddings 2-bit probing roughly doubles recall).
+    * Recall < 1 by construction; use for the scale path. */
   def annTopK(
       queries: DataFrame, // (qid, qv)
       corpus: DataFrame,  // (cid, cv)
       dim: Int,
       k: Int,
-      nPlanes: Int = 8): DataFrame = {
+      nPlanes: Int = 8,
+      probes: Int = 2): DataFrame = {
     val cs = corpus.withColumn("bucket", hyperplaneSig(col("cv"), dim, nPlanes))
-    // multiprobe: original bucket + each 1-bit flip
+    val flips: Seq[Long] = Seq(0L) ++
+      (if (probes >= 1) (0 until nPlanes).map(p => 1L << p) else Nil) ++
+      (if (probes >= 2)
+        (for (a <- 0 until nPlanes; b <- (a + 1) until nPlanes)
+          yield (1L << a) | (1L << b))
+      else Nil)
     val qs = queries.withColumn("bucket0", hyperplaneSig(col("qv"), dim, nPlanes))
-      .withColumn("bucket", explode(array(
-        col("bucket0") +: (0 until nPlanes).map(p =>
-          col("bucket0").bitwiseXOR(lit(1L << p))): _*)))
+      .withColumn("bucket",
+        explode(array(flips.map(f => col("bucket0").bitwiseXOR(lit(f))): _*)))
       .drop("bucket0")
     val scored = qs.join(cs, Seq("bucket"))
       .where(col("qid") =!= col("cid"))

@@ -1,0 +1,41 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source-side operators (SURVEY.md §2.1 S1-S6).
+  *
+  * The reference's format zoo (wav/ogg/mp3/..., runner/main.cpp:236-255)
+  * collapses to one table format here; what remains is source SELECTION
+  * and rate normalization.
+  */
+object Tables {
+
+  /** S1: the sequences table (parquet stand-in for the Iceberg table). */
+  def sequences(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** S2: recursive directory source — collect every parquet under a tree
+    * (the reference's `-r` walk, runner/main.cpp:488-513). */
+  def sequencesRecursive(spark: SparkSession, root: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.parquet").parquet(root)
+
+  /** S3: playlist/manifest expansion (m3u analog, runner/main.cpp:515-549):
+    * a manifest table of doc_ids selects the subset — broadcast semi join,
+    * no shuffle of the fact side. */
+  def fromManifest(sequences: DataFrame, manifest: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    sequences.join(broadcast(manifest.select(col(idCol)).distinct()),
+      Seq(idCol), "left_semi")
+
+  /** S6: resample-on-read analog — re-bucket an event-time column to a
+    * common grid (the reference opens readers at the transform rate,
+    * FeatureExtractionManager.cpp:723-763). Keeps ns integer time. */
+  def rebucketTs(df: DataFrame, tsCol: String, fromRateHz: Double,
+      toRateHz: Double): DataFrame = {
+    val factor = toRateHz / fromRateHz
+    df.withColumn(tsCol,
+      (round(col(tsCol).cast("double") * factor) / factor).cast("long"))
+  }
+}

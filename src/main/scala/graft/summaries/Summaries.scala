@@ -147,6 +147,46 @@ object Summaries {
     out
   }
 
+  /** Skew-resistant two-stage variant of [[summarizeScalar]] for hot
+    * entities (north_rule salting): stage 1 aggregates mergeable partials
+    * by (groupCols, salt) — a hot key's rows split across `salts` reducers
+    * — stage 2 merges the ≤ salts partials per key. Supports the mergeable
+    * reducers (count/min/max/sum/mean/variance/sd); weighted median/mode
+    * already pre-aggregate by (key, value), which splits hot keys by
+    * construction. Exactly equal to the one-stage plan (tested). */
+  def summarizeScalarSalted(
+      spanned: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      types: Seq[SummaryType] = Seq(SummaryType.Count, SummaryType.Min,
+        SummaryType.Max, SummaryType.Sum, SummaryType.Mean,
+        SummaryType.Variance, SummaryType.Sd),
+      salts: Int = 16): DataFrame = {
+    require(!types.contains(SummaryType.Median) && !types.contains(SummaryType.Mode),
+      "median/mode pre-aggregate by value; use summarizeScalar")
+    val v = col(valueCol)
+    val stage1 = spanned
+      .withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+      .groupBy((groupCols.map(col) :+ col("__salt")): _*)
+      .agg(
+        count(lit(1)).as("__n"),
+        min(v).as("__min"), max(v).as("__max"), sum(v).as("__sum"),
+        sum(col("w")).as("__sw"),
+        sum(v * col("w")).as("__swv"),
+        sum(v * v * col("w")).as("__swv2"))
+    var out = stage1.groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(col("__n")).as("count"),
+        min(col("__min")).as("min"), max(col("__max")).as("max"),
+        sum(col("__sum")).as("sum"),
+        (sum(col("__swv")) / sum(col("__sw"))).as("mean"),
+        (sum(col("__swv2")) / sum(col("__sw")) -
+          pow(sum(col("__swv")) / sum(col("__sw")), 2)).as("variance"))
+      .withColumn("sd", sqrt(col("variance")))
+    val keep = groupCols ++ types.map(_.name)
+    out.select(keep.map(col): _*)
+  }
+
   /** Long-format summary rows mirroring the reference's CSV summary layout
     * (FIXTURES.md §4): one row per group per summary type, with the
     * reference's label string. */

@@ -1,0 +1,154 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.engine.{Main, Engine}
+import graft.functions.Scalars
+import graft.model.SummaryType
+import graft.operators.Multiplex
+import graft.sources.{SequenceGen, Tables}
+import graft.summaries.Summaries
+
+class CliSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  private lazy val inputPath = {
+    val p = tmp("graftcli") + "/seqs"
+    SequenceGen.generate(spark, 20, seed = 42L).write.parquet(p)
+    p
+  }
+
+  test("end-to-end CLI: transforms file -> per-track csv files") {
+    val tf = tmp("grafttf") + "/t.json"
+    Files.writeString(Paths.get(tf),
+      """[{"id": "clicks", "plugin": "graft:clicks"}]""")
+    val out = tmp("graftout")
+    Main.run(spark, Main.parseArgs(Seq(
+      "--input", inputPath, "--transforms", tf,
+      "--writer", "csv", "--output", out)))
+    val files = Files.list(Paths.get(out)).toArray.map(_.toString)
+    assert(files.exists(_.endsWith("doc_0000000001_clicks.csv")))
+    val lines = Files.readAllLines(
+      Paths.get(s"$out/doc_0000000001_clicks.csv"))
+    assert(lines.size() == 3) // the 3-clicks doc
+    assert(lines.get(0).matches("\"doc_0000000001\",0\\.085000000,\"click\""))
+  }
+
+  test("end-to-end CLI: -S summaries, summary-only, one file") {
+    val tf = tmp("grafttf2") + "/t.json"
+    Files.writeString(Paths.get(tf),
+      """[{"id": "df", "plugin": "graft:energy", "output": "detectionfunction"}]""")
+    val out = tmp("graftout2") + "/sums.csv"
+    Main.run(spark, Main.parseArgs(Seq(
+      "--input", inputPath, "--transforms", tf,
+      "--summaries", "mean,count", "--summary-only",
+      "--writer", "csv", "--output", out, "--one-file")))
+    val lines = Files.readAllLines(Paths.get(out))
+    assert(lines.size() == 2 * 20) // 2 summary types x 20 docs
+    assert(lines.toArray.exists(_.toString.contains(
+      "mean") ))
+    assert(lines.toArray.exists(_.toString.contains(
+      "\"(mean value, continuous-time average)\"")))
+  }
+
+  test("CLI checkpointed parquet writer is resumable") {
+    val tf = tmp("grafttf3") + "/t.json"
+    Files.writeString(Paths.get(tf),
+      """[{"id": "c", "plugin": "graft:clicks"}]""")
+    val out = tmp("graftout3")
+    val cfg = Main.parseArgs(Seq(
+      "--input", inputPath, "--transforms", tf,
+      "--writer", "parquet", "--output", out, "--checkpoint-buckets", "3"))
+    Main.run(spark, cfg)
+    assert(graft.engine.Checkpoint.manifest(out).size == 3)
+    Main.run(spark, cfg) // re-run: all buckets skipped, no error
+    assert(spark.read.parquet(s"$out/data").count() == 9) // 3 + 6 clicks
+  }
+
+  test("manifest source selects a doc subset (playlist analog)") {
+    val seqs = Tables.sequences(spark, inputPath)
+    val manifest = Seq("doc_0000000001", "doc_0000000002").toDF("doc_id")
+    val sel = Tables.fromManifest(seqs, manifest)
+    assert(sel.select("doc_id").as[String].collect().toSet ==
+      Set("doc_0000000001", "doc_0000000002"))
+  }
+
+  test("salted two-stage aggregation equals the one-stage plan") {
+    val feats = SequenceGen.featureTimeline(spark, 30, 20)
+      .withColumnRenamed("v", "value")
+    val spanned = Summaries.withSpans(feats, "doc_id", None, "ts")
+    val types = Seq(SummaryType.Count, SummaryType.Min, SummaryType.Max,
+      SummaryType.Sum, SummaryType.Mean, SummaryType.Variance, SummaryType.Sd)
+    val plain = Summaries.summarizeScalar(spanned, Seq("doc_id"), "value", types)
+      .orderBy("doc_id").collect()
+    val salted = Summaries.summarizeScalarSalted(spanned, Seq("doc_id"), "value",
+      types, salts = 8).orderBy("doc_id").collect()
+    assert(plain.length == salted.length)
+    plain.zip(salted).foreach { case (p, s) =>
+      types.foreach { t =>
+        val (a, b) = (p.getAs[Any](t.name).toString.toDouble,
+          s.getAs[Any](t.name).toString.toDouble)
+        assert(math.abs(a - b) <= math.abs(a) * 1e-9 + 1e-9, s"${t.name}: $a vs $b")
+      }
+    }
+  }
+
+  test("scalar functions: hz->midi, frame<->ns, version compare, sanitize") {
+    val r = Seq((440.0, 880.0)).toDF("a", "b")
+      .select(Scalars.hzToMidi($"a").as("m1"), Scalars.hzToMidi($"b").as("m2"),
+        Scalars.nsToFrame(lit(1500000000L), 4.0).as("f"),
+        Scalars.frameToNs(lit(6L), 4.0).as("ns"),
+        Scalars.sanitizeId(lit("p:x:y")).as("s"))
+      .collect().head
+    assert(r.getAs[Int]("m1") == 69 && r.getAs[Int]("m2") == 81)
+    assert(r.getAs[Long]("f") == 6L && r.getAs[Long]("ns") == 1500000000L)
+    assert(r.getAs[String]("s") == "p_x_y")
+    assert(Scalars.compareVersions("1.10", "1.9") > 0)
+    assert(Scalars.compareVersions("1.5", "1.5") == 0)
+    assert(Scalars.compareVersions("1.5pre1", "1.5") < 0) // pre-release first
+  }
+
+  test("FSR grid snapping matches the reference rule (0.333 -> 0.4 at 2.5Hz)") {
+    // golden: vamp-test-plugin-curve-fsr-timed.csv "0.3 at 0.333 snap to 0.4"
+    val snapped = Seq(333000000L, 400000000L, 0L).toDF("ts")
+      .select(graft.frames.Framing.snapToGrid($"ts", 2.5).as("s"))
+      .as[Long].collect().toSeq
+    assert(snapped == Seq(400000000L, 400000000L, 0L))
+  }
+
+  test("channel mixdown: mean across channels") {
+    val df = Seq((Seq(Seq(1, 3), Seq(3, 5)))).toDF("channels")
+    val out = Multiplex.mixdown(df, "channels").select("mixed")
+      .as[Seq[Double]].collect().head
+    assert(out == Seq(2.0, 4.0))
+  }
+
+  test("xml debug sink escapes and formats") {
+    val feats = Seq(("d", "t", 1500000000L, None: Option[Long],
+      Seq(1.5f), "a<b&c")).toDF(
+      "doc_id", "transform_id", "ts", "duration", "values", "label")
+    val xml = graft.sinks.XmlSink.toXmlRows(feats)
+      .select("xml").as[String].collect().head
+    assert(xml ==
+      "<feature><timestamp>1.500000000</timestamp><values>1.5</values><label>a&lt;b&amp;c</label></feature>")
+  }
+
+  test("--list and unknown plugin errors") {
+    assert(Engine.list.contains("graft:histogram:grid"))
+    val e = intercept[IllegalArgumentException] {
+      Engine.run(SequenceGen.generate(spark, 4).toDF(),
+        Seq(graft.model.TransformSpec(id = "x", plugin = "graft:nope")))
+    }
+    assert(e.getMessage.contains("unknown plugin"))
+    val e2 = intercept[IllegalArgumentException] {
+      Engine.run(SequenceGen.generate(spark, 4).toDF(),
+        Seq(graft.model.TransformSpec(id = "x", plugin = "graft:energy",
+          output = "nope")))
+    }
+    assert(e2.getMessage.contains("no output"))
+  }
+}

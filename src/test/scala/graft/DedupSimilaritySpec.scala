@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+class DedupSimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, Seq(3, 4, 5, 3, 4, 5, 3, 4, 5, 6, 7, 8)),
+    (2L, Seq(3, 4, 5, 3, 4, 5, 3, 4, 5, 6, 7, 8)),  // exact dup of 1
+    (3L, Seq(3, 4, 5, 3, 4, 5, 3, 4, 5, 6, 7, 9)),  // near dup of 1
+    (4L, Seq(20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31)) // unrelated
+  ).toDF("doc_id", "tokens")
+
+  test("minhash LSH finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "tokens",
+      numHashes = 16, bands = 8, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash pairs: identical docs at hamming 0; unrelated far") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "tokens", maxHamming = 2)
+      .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        r.getAs[Number]("hamming").longValue())).toMap
+    assert(pairs((1L, 2L)) == 0L)
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("embedding dup pairs find identical vectors") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.5f, 0.2f)),
+      (2L, Seq(1.0f, 0.0f, 0.5f, 0.2f)),
+      (3L, Seq(-1.0f, 0.3f, -0.5f, 0.9f))).toDF("id", "emb")
+    val pairs = Dedup.embeddingDupPairs(vecs, "id", "emb", dim = 4,
+      nPlanes = 4, threshold = 0.99)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("ANN top-k recall vs brute force is substantial") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val c = e.select(col("vec_id").as("cid"), col("v").as("cv"))
+    val exact = Similarity.cosineTopK(q, c, 5)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    val ann = Similarity.annTopK(q, c, dim = 64, k = 5)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    assert(recall >= 0.4, s"ANN recall too low: $recall")
+    // and the ANN result is always a subset of real vectors with rk<=5
+    assert(ann.size <= 50)
+  }
+
+  test("exact dedup keeps the smallest id per duplicate group") {
+    val kept = Dedup.exact(docs, Seq("tokens"), "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L))
+  }
+}
