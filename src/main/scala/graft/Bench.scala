@@ -74,12 +74,15 @@ object Bench {
     var chkLow = (0L, 0L, 0.0)
     var chkHigh = (0L, 0L, 0.0)
 
-    // --- headline at N=1 ---
+    // --- headline at N=1 (primary = native Catalyst as-of operator) ---
     spark = session(lowCores)
     var seqs = spark.read.parquet(seqPath)
-    chkLow = Pipelines.runAndChecksum(Pipelines.asofFeaturePipeline(spark, 2000)) // warmup
+    Pipelines.runAndChecksum(Pipelines.asofFeaturePipeline(spark, 2000)) // warmup
     val tLow = minOf(reps) {
-      chkLow = Pipelines.runAndChecksum(Pipelines.asofFeaturePipelineOver(seqs))
+      chkLow = Pipelines.runAndChecksum(Pipelines.asofFeaturePipelineNativeOver(seqs))
+    }
+    val tLowWin = minOf(1) {
+      Pipelines.runAndChecksum(Pipelines.asofFeaturePipelineOver(seqs))
     }
     val tLowColoc = minOf(reps) {
       Pipelines.runAndChecksum(Pipelines.asofColocatedPipeline(seqs))
@@ -91,7 +94,10 @@ object Bench {
     seqs = spark.read.parquet(seqPath)
     Pipelines.runAndChecksum(Pipelines.asofFeaturePipeline(spark, 2000))
     val tHigh = minOf(reps) {
-      chkHigh = Pipelines.runAndChecksum(Pipelines.asofFeaturePipelineOver(seqs))
+      chkHigh = Pipelines.runAndChecksum(Pipelines.asofFeaturePipelineNativeOver(seqs))
+    }
+    val tHighWin = minOf(1) {
+      Pipelines.runAndChecksum(Pipelines.asofFeaturePipelineOver(seqs))
     }
     val tHighColoc = minOf(reps) {
       Pipelines.runAndChecksum(Pipelines.asofColocatedPipeline(seqs))
@@ -104,8 +110,10 @@ object Bench {
 
     val ratio = highCores.toDouble / lowCores
     val efficiency = (tLow / tHigh) / ratio
-    results(s"asof_pipeline_p$lowCores") = tLow
-    results(s"asof_pipeline_p$highCores") = tHigh
+    results(s"asof_native_p$lowCores") = tLow
+    results(s"asof_native_p$highCores") = tHigh
+    results(s"asof_window_p$lowCores") = tLowWin
+    results(s"asof_window_p$highCores") = tHighWin
     results(s"asof_colocated_p$lowCores") = tLowColoc
     results(s"asof_colocated_p$highCores") = tHighColoc
     results("seq_per_sec_low") = nDocs / tLow
@@ -132,7 +140,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.filter(_._1.startsWith("q")).values.filter(_ >= 0).sum +
-      results("asof_pipeline_p1") + results("asof_pipeline_p4")
+      results("asof_native_p1") + results("asof_native_p4")
     println(s"""{"metric":"gate_queries_plus_headline","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","n_docs":$nDocs,"seq_per_sec":${f"${nDocs / tHigh}%.1f"},"scaling_efficiency":${f"$efficiency%.3f"}}""")
   }
 }

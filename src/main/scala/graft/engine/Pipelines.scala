@@ -48,6 +48,26 @@ object Pipelines {
     AsOf.join(queries, features, "doc_id", "ts", Seq("fv"))
   }
 
+  /** Same pipeline using the NATIVE Catalyst as-of operator
+    * (graft.plans.AsOfJoinExec): single-pass sort-merge-carry, no window
+    * buffering; plan = 1 exchange + 1 sort per side. */
+  def asofFeaturePipelineNativeOver(seqs: DataFrame,
+      step: Int = 8, block: Int = 16, queriesPerDoc: Int = 4): DataFrame = {
+    val features = seqs
+      .withColumn("df",
+        graft.functions.FrameAgg.energy(col("tokens"), step, block))
+      .select(col("doc_id"), posexplode(col("df")))
+      .select(col("doc_id"), (col("pos") * step * 1000000L).as("ts"),
+        col("col").as("fv"))
+    val queries = seqs
+      .select(col("doc_id"), col("n_tok"),
+        explode(sequence(lit(0), lit(queriesPerDoc - 1))).as("k"))
+      .select(col("doc_id"),
+        pmod(abs(xxhash64(col("doc_id"), col("k"))),
+          greatest(col("n_tok").cast("long"), lit(1L)) * 1000000L).as("ts"))
+    graft.plans.AsOfNative.join(queries, features, "doc_id", "ts", Seq("fv"))
+  }
+
   /** Co-located fast path: when the feature timeline is a dense GRID
     * (OneSamplePerStep timestamps, exactly the reference's dense outputs,
     * runner/FeatureExtractionManager.cpp:941) and queries derive from the

@@ -1,0 +1,209 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.SparkStrategy
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, JoinedRow, SortOrder, SpecificInternalRow, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** Native Catalyst as-of join: logical node + planner strategy + a
+  * single-pass sort-merge-carry physical operator (SURVEY.md §7.3 tier c —
+  * built after profiling showed the union+window rewrite pays for buffering
+  * every entity group in WindowExec).
+  *
+  * Semantics identical to graft.operators.AsOf.join (property-tested):
+  * for each left row, the value columns of the latest right row with
+  * rightTs <= leftTs (strict: <) on the same entity, plus matched_ts;
+  * zero temporal leakage by construction — the merge NEVER reads a right
+  * row past the current left timestamp.
+  *
+  * Physical properties: both children clustered on the entity key and
+  * sorted by (entity, ts) — EnsureRequirements inserts exactly one
+  * exchange + one sort per side (same as a SortMergeJoin); the merge is
+  * O(1) state per row: one carried value row, no per-group buffering.
+  *
+  * Key/ts/value columns are held as real Attributes so column pruning and
+  * the optimizer see this node's references.
+  */
+case class AsOfJoinNode(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftEntity: Attribute,
+    leftTs: Attribute,
+    rightEntity: Attribute,
+    rightTs: Attribute,
+    rightValues: Seq[Attribute],
+    strict: Boolean,
+    // constructor param so copy()/withNewChildren keep the exprId stable
+    matchedTs: AttributeReference) extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ rightValues.map(_.withNullability(true)) :+ matchedTs
+
+  // matched_ts is minted by this operator, not derived from children
+  override def producedAttributes: AttributeSet = AttributeSet(Seq(matchedTs))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+case class AsOfJoinExec(
+    leftEntity: Attribute,
+    leftTs: Attribute,
+    rightEntity: Attribute,
+    rightTs: Attribute,
+    rightValues: Seq[Attribute],
+    strict: Boolean,
+    matchedTs: AttributeReference,
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ rightValues.map(_.withNullability(true)) :+ matchedTs
+
+  override def producedAttributes: AttributeSet = AttributeSet(Seq(matchedTs))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftEntity)) ::
+      ClusteredDistribution(Seq(rightEntity)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftEntity, Ascending), SortOrder(leftTs, Ascending)),
+    Seq(SortOrder(rightEntity, Ascending), SortOrder(rightTs, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  private def ordinal(out: Seq[Attribute], a: Attribute): Int = {
+    val i = out.indexWhere(_.exprId == a.exprId)
+    require(i >= 0, s"attribute $a missing from ${out.mkString(",")}")
+    i
+  }
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val leftOut = left.output
+    val rightOut = right.output
+    val entityOrd = org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(leftEntity.dataType)
+    val tsOrd = org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(leftTs.dataType)
+    val strictB = strict
+    val lEntityIdx = ordinal(leftOut, leftEntity)
+    val lTsIdx = ordinal(leftOut, leftTs)
+    val rEntityIdx = ordinal(rightOut, rightEntity)
+    val rTsIdx = ordinal(rightOut, rightTs)
+    val rValIdx = rightValues.map(a => ordinal(rightOut, a))
+    val entityType = leftEntity.dataType
+    val tsType = leftTs.dataType
+    val rValTypes = rightValues.map(_.dataType)
+    val carrySchema = rValTypes :+ rightTs.dataType
+    val outAttrs = output
+    val joinedSchema = leftOut ++ (rightValues.map(_.withNullability(true)) :+ matchedTs)
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val joined = new JoinedRow
+      val project = UnsafeProjection.create(outAttrs, joinedSchema)
+      // carry row layout: value columns ++ matched_ts; null row when no match
+      val carry = new SpecificInternalRow(carrySchema)
+      val nullCarry = new SpecificInternalRow(carrySchema)
+      carrySchema.indices.foreach(nullCarry.setNullAt)
+      var carryEntity: Any = null
+      var hasCarry = false
+      var rHead: InternalRow = null
+      var rHeadDone = !rIter.hasNext
+      if (!rHeadDone) rHead = rIter.next()
+
+      def rightApplies(le: Any, lt: Any): Boolean = {
+        val ec = entityOrd.compare(rHead.get(rEntityIdx, entityType), le)
+        if (ec < 0) true
+        else if (ec > 0) false
+        else {
+          val tc = tsOrd.compare(rHead.get(rTsIdx, tsType), lt)
+          if (strictB) tc < 0 else tc <= 0
+        }
+      }
+
+      lIter.map { lRow =>
+        val le = lRow.get(lEntityIdx, entityType)
+        val lt = lRow.get(lTsIdx, tsType)
+        while (!rHeadDone && rightApplies(le, lt)) {
+          // absorb this right row into the carry (copies — the sorter
+          // reuses row objects)
+          carryEntity = InternalRow.copyValue(rHead.get(rEntityIdx, entityType))
+          rValIdx.zipWithIndex.foreach { case (ri, i) =>
+            if (rHead.isNullAt(ri)) carry.setNullAt(i)
+            else carry.update(i, InternalRow.copyValue(rHead.get(ri, rValTypes(i))))
+          }
+          carry.update(carrySchema.length - 1,
+            InternalRow.copyValue(rHead.get(rTsIdx, tsType)))
+          hasCarry = true
+          if (rIter.hasNext) rHead = rIter.next() else { rHeadDone = true; rHead = null }
+        }
+        val matches = hasCarry && entityOrd.compare(carryEntity, le) == 0
+        project(joined(lRow, if (matches) carry else nullCarry))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner strategy lowering the logical node; injected per-session via
+  * spark.experimental.extraStrategies (no session-construction-time
+  * extension needed). */
+object AsOfJoinStrategy extends SparkStrategy {
+  def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case n: AsOfJoinNode =>
+      AsOfJoinExec(n.leftEntity, n.leftTs, n.rightEntity, n.rightTs,
+        n.rightValues, n.strict, n.matchedTs,
+        planLater(n.left), planLater(n.right)) :: Nil
+    case _ => Nil
+  }
+}
+
+object AsOfNative {
+
+  /** Register the strategy on the session (idempotent). */
+  def install(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraStrategies
+    if (!cur.exists(_.isInstanceOf[AsOfJoinStrategy.type]))
+      spark.experimental.extraStrategies = cur :+ AsOfJoinStrategy
+  }
+
+  /** Native as-of join; same contract as graft.operators.AsOf.join. */
+  def join(queries: DataFrame, features: DataFrame, entityCol: String,
+      tsCol: String, valueCols: Seq[String], strict: Boolean = false): DataFrame = {
+    require(features.schema(tsCol).dataType ==
+      org.apache.spark.sql.types.LongType,
+      "native as-of join requires a LongType ts column (integer ns/us)")
+    val spark = queries.sparkSession
+    install(spark)
+    val lp = queries.queryExecution.analyzed
+    val rp0 = features.queryExecution.analyzed
+    // self-join hygiene: custom nodes bypass the analyzer's
+    // DeduplicateRelations, so shared exprIds between the sides (queries
+    // and features derived from one table) would confuse column pruning —
+    // re-alias the right side with fresh exprIds when outputs overlap
+    val rp: LogicalPlan =
+      if (rp0.outputSet.intersect(lp.outputSet).isEmpty) rp0
+      else org.apache.spark.sql.catalyst.plans.logical.Project(
+        rp0.output.map(a =>
+          org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()), rp0)
+    def attr(p: LogicalPlan, name: String): Attribute =
+      p.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"no column $name in ${p.output.map(_.name)}"))
+    Bridge.ofRows(spark, AsOfJoinNode(lp, rp,
+      attr(lp, entityCol), attr(lp, tsCol),
+      attr(rp, entityCol), attr(rp, tsCol),
+      valueCols.map(c => attr(rp, c)), strict,
+      AttributeReference("matched_ts",
+        org.apache.spark.sql.types.LongType, nullable = true)()))
+  }
+}

@@ -17,12 +17,18 @@ object ScaleOnly {
     spark.sparkContext.setLogLevel("WARN")
     val seqs = spark.read.parquet(path)
     Pipelines.runAndChecksum(Pipelines.asofFeaturePipeline(spark, 2000)) // warmup
-    val times = (1 to reps).map { _ =>
-      val t0 = System.nanoTime()
-      Pipelines.runAndChecksum(Pipelines.asofFeaturePipelineOver(seqs))
-      (System.nanoTime() - t0) / 1e9
+    def rep(label: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
+      val times = (1 to reps).map { _ =>
+        System.gc()
+        val t0 = System.nanoTime()
+        Pipelines.runAndChecksum(mk)
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[scaleonly] $label cores=$cores min=${times.min}%.2f all=${times.map(t => f"$t%.2f").mkString(",")}")
     }
-    println(f"[scaleonly] cores=$cores min=${times.min}%.2f all=${times.map(t => f"$t%.2f").mkString(",")}")
+    val which = sys.env.getOrElse("GRAFT_WHICH", "window,native")
+    if (which.contains("window")) rep("window")(Pipelines.asofFeaturePipelineOver(seqs))
+    if (which.contains("native")) rep("native")(Pipelines.asofFeaturePipelineNativeOver(seqs))
     spark.stop()
   }
 }

@@ -101,6 +101,32 @@ class AsOfSpec extends AnyFunSuite {
     }
   }
 
+  test("native Catalyst as-of (custom SparkPlan) equals the window rewrite") {
+    val rnd = new scala.util.Random(13)
+    for (_ <- 1 to 10) {
+      val (fs, qs) = randomCase(rnd)
+      val fdf = fs.map(f => (f.doc_id, f.ts, f.v)).toDF("doc_id", "ts", "fv")
+      val qdf = qs.toDF("doc_id", "ts")
+      for (strict <- Seq(false, true)) {
+        val window = AsOf.join(qdf, fdf, "doc_id", "ts", Seq("fv"), strict)
+          .orderBy("doc_id", "ts").collect().map(_.toSeq).toSeq
+        val native = graft.plans.AsOfNative.join(qdf, fdf, "doc_id", "ts",
+          Seq("fv"), strict)
+          .orderBy("doc_id", "ts").collect().map(_.toSeq).toSeq
+        assert(native == window, s"strict=$strict")
+      }
+    }
+  }
+
+  test("native as-of plan inserts one exchange + one sort per side") {
+    val fdf = Seq(("d", 1L, 1.0)).toDF("doc_id", "ts", "fv")
+    val qdf = Seq(("d", 2L)).toDF("doc_id", "ts")
+    val plan = graft.plans.AsOfNative.join(qdf, fdf, "doc_id", "ts", Seq("fv"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2)
+  }
+
   test("query columns and row count are preserved (one row per query)") {
     val fs = Seq(("d", 5L, 1.0), ("d", 5L, 1.0)).toDF("doc_id", "ts", "fv")
     val qs = Seq(("d", 6L, "x"), ("d", 6L, "y"), ("e", 1L, "z"))
