@@ -101,6 +101,38 @@ object Queries3 {
       .orderBy("doc_id", "ts")
   }
 
+  // --------------------------------------------------------------- q31
+  /** The NATIVE Catalyst as-of operator (graft.plans.AsOfJoinExec) against
+    * the same DuckDB ASOF oracle as q2 — the custom physical plan is
+    * oracle-verified, not just property-tested. */
+  def q31AsofNative(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val queries = e.where(col("event_type") =!= "purchase")
+      .select("event_id", "user_id", "ts")
+    val features = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("last_purchase_value"))
+    graft.plans.AsOfNative.join(queries, features, "user_id", "ts",
+      Seq("last_purchase_value"))
+      .orderBy("event_id")
+  }
+
+  // --------------------------------------------------------------- q32
+  /** MIDI-notes projection (K4): regions rows -> (channel, pitch from Hz,
+    * velocity, start, duration); Hz->MIDI per the reference rule. */
+  def q32MidiNotes(s: SparkSession, dir: String): DataFrame = {
+    // synthesize a notes table from events: value as frequency-like Hz
+    val e = ev(s, dir).where(col("event_type") === "click")
+    graft.sinks.MidiSink.toNotes(
+      e.select(col("user_id").cast("string").as("doc_id"),
+        lit("t").as("transform_id"), col("ts").as("ts"),
+        lit(500000L).as("duration"),
+        array((col("value") + 20.0).cast("float"), lit(0.5f)).as("values"),
+        lit("").as("label")),
+      unitIsHz = true)
+      .select(col("doc_id"), col("ts"), col("pitch"), col("velocity"))
+      .orderBy("doc_id", "ts")
+  }
+
   // ------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -109,7 +141,9 @@ object Queries3 {
     "q27_fill_ends" -> q27FillEnds,
     "q28_ann_topk" -> q28AnnTopK,
     "q29_align_by_pos" -> q29AlignByPos,
-    "q30_engine_energy" -> q30EngineEnergy)
+    "q30_engine_energy" -> q30EngineEnergy,
+    "q31_asof_native" -> q31AsofNative,
+    "q32_midi_notes" -> q32MidiNotes)
 
   private val toksSql =
     "list_transform(string_split(text, ' '), w -> length(w))"
@@ -146,6 +180,19 @@ object Queries3 {
          SELECT user_id, seg_start, count(*) AS n,
                 round(sum(value), 6) AS sum_v
          FROM g GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q31_asof_native" ->
+      """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts,
+                p.value AS last_purchase_value, epoch_us(p.ts) AS matched_ts
+         FROM (SELECT * FROM events WHERE event_type <> 'purchase') e
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+           ON e.user_id = p.user_id AND e.ts >= p.ts
+         ORDER BY e.event_id""",
+    "q32_midi_notes" ->
+      """SELECT user_id::VARCHAR AS doc_id, epoch_us(ts) AS ts,
+                CAST(round(69 + 12 * log2((value + 20.0) / 440.0)) AS INT) AS pitch,
+                CAST(round(0.5 * 127) AS INT) AS velocity
+         FROM events WHERE event_type = 'click'
+         ORDER BY 1, 2""",
     "q27_fill_ends" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts,
                 coalesce(lead(epoch_us(ts)) OVER
