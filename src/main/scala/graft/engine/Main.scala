@@ -42,6 +42,7 @@ object Main {
       summaryOnly: Boolean = false,
       segments: Seq[Long] = Nil,
       normalize: Boolean = false,
+      multiplex: Boolean = false,
       oneFile: Boolean = false,
       csv: CsvSink.Options = CsvSink.Options(),
       checkpointBuckets: Int = 0,
@@ -70,6 +71,7 @@ object Main {
         loop(t, c.copy(segments = TransformSpecs.parseSegments(
           Files.readString(Paths.get(v)))))
       case "--normalize" :: t => loop(t, c.copy(normalize = true))
+      case "--multiplex" :: t => loop(t, c.copy(multiplex = true))
       case "--one-file" :: t => loop(t, c.copy(oneFile = true))
       case "--force" :: t => loop(t, c.copy(csv = c.csv.copy(force = true)))
       case "--append" :: t => loop(t, c.copy(csv = c.csv.copy(append = true)))
@@ -130,15 +132,46 @@ object Main {
     c.manifest.foreach { m =>
       seqs = Tables.fromManifest(seqs, spark.read.parquet(m))
     }
-    if (c.normalize) {
-      // peak normalisation analog on the token histogram features happens
-      // per-extractor; -n on raw sequences is a no-op for integer tokens
-      // (documented divergence: the reference scales float samples)
+    if (c.multiplex) {
+      // reference --multiplex (runner/main.cpp:1158-1167): all selected
+      // sources become ONE multi-channel input; we zip + mean-mixdown.
+      // Driver collects only the id list (the selection, not the data).
+      val ids = seqs.select(col("doc_id").cast("string")).distinct()
+        .orderBy("doc_id").collect().map(_.getString(0)).toSeq
+      val mixed = graft.operators.Multiplex.mixdown(
+        graft.operators.Multiplex.multiplex(
+          seqs.withColumn("doc_id", col("doc_id").cast("string")), ids),
+        "channels")
+      seqs = mixed.select(col("doc_id"),
+        transform(col("mixed"), v => round(v).cast("int")).as("tokens"),
+        col("n_tok"), lit("multiplex").as("source"))
+        // materialize: the mixed sequence is ONE row per multiplex group,
+        // but its tokens column is a deep interpreted-HOF chain (zip, pad,
+        // mean-mixdown); downstream frame fan-out would re-evaluate that
+        // chain per frame row (BENCH/BASELINE.md perf rule 2). Breaking
+        // lineage here makes extraction read a concrete array instead.
+        .localCheckpoint(true)
     }
 
     val specs = loadSpecs(c)
     require(specs.nonEmpty, "no transforms given (--transforms/--default-transform)")
-    val features = Engine.run(seqs, specs)
+    var features = Engine.run(seqs, specs)
+    if (c.normalize) {
+      // peak normalisation (reference -n): scale each (doc, transform)'s
+      // feature values so the absolute max is 1.0 (the reference scales
+      // the input samples; for integer tokens the analog is value-space)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"), col("transform_id"))
+      val peak = max(array_max(transform(col("values"),
+        v => abs(v.cast("double"))))).over(w)
+      features = features
+        .withColumn("__peak", peak)
+        .withColumn("values",
+          when(col("__peak") > 0,
+            transform(col("values"), v => (v.cast("double") / col("__peak")).cast("float")))
+            .otherwise(col("values")))
+        .drop("__peak")
+    }
     val wantSummaries = specs.exists(_.summaryType.nonEmpty)
 
     def writeFeatures(): Unit = c.writer match {

@@ -264,7 +264,8 @@ object Queries {
              sum(ns) OVER (PARTITION BY user_id ORDER BY ts
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
            FROM g)
-         SELECT user_id, session_id, min(ts) AS session_start,
+         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                min(ts) AS session_start,
                 max(ts) AS session_end, count(*) AS n_events,
                 round(sum(value), 6) AS sum_value
          FROM s GROUP BY 1,2 ORDER BY 1,2""",

@@ -293,7 +293,7 @@ object Queries2 {
          p AS (SELECT doc_id,
                  toks || list_transform(range(ml - len(toks)), x -> 0) AS ch
                FROM t, m)
-         SELECT '0+1+2' AS doc_id, (SELECT ml FROM m)::BIGINT AS n_tok,
+         SELECT '0' AS doc_id, (SELECT ml FROM m)::BIGINT AS n_tok,
            (SELECT array_to_string(list_transform(ch, x -> CAST(x AS VARCHAR)), ',')
               FROM p WHERE doc_id = 0) AS ch0,
            (SELECT array_to_string(list_transform(ch, x -> CAST(x AS VARCHAR)), ',')

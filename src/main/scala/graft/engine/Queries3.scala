@@ -133,6 +133,25 @@ object Queries3 {
       .orderBy("doc_id", "ts")
   }
 
+  // --------------------------------------------------------------- q33
+  /** Embedding-cosine near-duplicate pairs, exact brute-force baseline
+    * (the oracle-checkable reference answer for `Dedup.embeddingDupPairs`,
+    * whose hyperplane-LSH blocking is recall<1 by design and asserted a
+    * subset of THIS result in ScalaTest). Broadcast one side: map-only,
+    * no shuffle; at 10^12 rows the LSH variant replaces the cross join. */
+  def q33EmbedDup(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("v_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("v_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.cosine(col("v_a"), col("v_b")), 6).as("cos"))
+      .where(col("cos") >= 0.35)
+      .orderBy("id_a", "id_b")
+  }
+
   // ------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -143,12 +162,23 @@ object Queries3 {
     "q29_align_by_pos" -> q29AlignByPos,
     "q30_engine_energy" -> q30EngineEnergy,
     "q31_asof_native" -> q31AsofNative,
-    "q32_midi_notes" -> q32MidiNotes)
+    "q32_midi_notes" -> q32MidiNotes,
+    "q33_embed_dup" -> q33EmbedDup)
 
   private val toksSql =
     "list_transform(string_split(text, ' '), w -> length(w))"
 
   val oracle: Map[String, String] = Map(
+    "q33_embed_dup" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_dot_product(a.emb, b.emb) /
+                  (sqrt(list_dot_product(a.emb, a.emb)) *
+                   greatest(sqrt(list_dot_product(b.emb, b.emb)), 1e-12)),
+                  6) AS cos
+         FROM v a JOIN v b ON a.vec_id < b.vec_id
+         WHERE cos >= 0.35
+         ORDER BY 1, 2""",
     "q25_minhash_lsh" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          sig AS (

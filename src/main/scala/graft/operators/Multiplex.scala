@@ -23,27 +23,28 @@ object Multiplex {
       docIds: Seq[String],
       pad: Int = 0): DataFrame = {
     require(docIds.nonEmpty)
-    val parts = docIds.zipWithIndex.map { case (d, i) =>
-      sequences.where(col("doc_id") === d)
-        .select(lit(1).as("__k"), col("tokens").as(s"t$i"), col("n_tok").as(s"n$i"))
-    }
-    val joined = parts.reduce((a, b) => a.join(b, "__k"))
-    val maxLen = greatest(docIds.indices.map(i => col(s"n$i")): _*)
-    val padded = docIds.indices.map { i =>
-      // pad channel i to maxLen with `pad` (reference zeroes the block);
-      // guard: sequence(1, 0) would generate a DESCENDING range in Spark
-      when(maxLen > col(s"n$i"),
-        concat(col(s"t$i"),
-          transform(sequence(lit(1), maxLen - col(s"n$i")), _ => lit(pad))))
-        .otherwise(col(s"t$i"))
-        .as(s"ch$i")
-    }
-    joined.select(
-      lit(docIds.mkString("+")).as("doc_id") +:
-        maxLen.as("n_tok") +:
-        padded: _*)
-      .withColumn("channels", array(docIds.indices.map(i => col(s"ch$i")): _*))
-      .select("doc_id", "n_tok", "channels")
+    // ONE aggregation (an N-way join chain makes the optimizer blow up at
+    // ~20 channels): collect (doc_id -> tokens) into a map, order channels
+    // by the requested docIds, pad each to the max length
+    val m = sequences.where(col("doc_id").isin(docIds: _*))
+      .groupBy()
+      .agg(
+        map_from_arrays(collect_list(col("doc_id")),
+          collect_list(col("tokens"))).as("__m"),
+        max(col("n_tok")).as("n_tok"))
+    val ordered = transform(array(docIds.map(lit): _*),
+      id => element_at(col("__m"), id))
+    m.withColumn("channels",
+      transform(ordered, ch =>
+        // guard: sequence(1, 0) would generate a DESCENDING range in Spark
+        when(size(ch) < col("n_tok"),
+          concat(ch, transform(sequence(lit(1), col("n_tok") - size(ch)),
+            _ => lit(pad))))
+          .otherwise(ch)))
+      // the first source provides the nominal output name (reference
+      // MultiplexedReader.cpp:22 via FeatureExtractionManager.cpp:700)
+      .select(lit(docIds.head).as("doc_id"), col("n_tok"),
+        col("channels"))
   }
 
   /** Positional full-outer alignment of two event tables on (pos), one

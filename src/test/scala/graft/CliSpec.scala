@@ -69,6 +69,38 @@ class CliSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/data").count() == 9) // 3 + 6 clicks
   }
 
+  test("--multiplex collapses all inputs into one mixed sequence") {
+    val tf = tmp("grafttfm") + "/t.json"
+    Files.writeString(Paths.get(tf),
+      """[{"id": "r", "plugin": "graft:regions", "parameters": {"min_run": 1}}]""")
+    val out = tmp("graftoutm")
+    Main.run(spark, Main.parseArgs(Seq(
+      "--input", inputPath, "--multiplex", "--transforms", tf,
+      "--writer", "parquet", "--output", out, "--force")))
+    val rows = spark.read.parquet(out)
+    // one multiplexed doc, named after the first source (reference
+    // MultiplexedReader rule)
+    assert(rows.select("doc_id").distinct().count() == 1)
+    assert(rows.select("doc_id").first().getString(0) == "doc_0000000000")
+  }
+
+  test("--normalize peak-scales feature values per (doc, transform)") {
+    val tf = tmp("grafttfn") + "/t.json"
+    Files.writeString(Paths.get(tf),
+      """[{"id": "df", "plugin": "graft:energy", "output": "detectionfunction"}]""")
+    val out = tmp("graftoutn")
+    Main.run(spark, Main.parseArgs(Seq(
+      "--input", inputPath, "--transforms", tf, "--normalize",
+      "--writer", "parquet", "--output", out, "--force")))
+    val peaks = spark.read.parquet(out)
+      .groupBy("doc_id")
+      .agg(max(array_max(transform(col("values"),
+        v => abs(v.cast("double"))))).as("peak"))
+      .select("peak").collect().map(_.getDouble(0))
+    // every non-silent doc's peak is exactly 1.0
+    assert(peaks.forall(p => math.abs(p - 1.0) < 1e-6 || p == 0.0))
+  }
+
   test("manifest source selects a doc subset (playlist analog)") {
     val seqs = Tables.sequences(spark, inputPath)
     val manifest = Seq("doc_0000000001", "doc_0000000002").toDF("doc_id")
