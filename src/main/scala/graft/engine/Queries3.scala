@@ -143,11 +143,15 @@ object Queries3 {
     val e = t(s, dir, "embeddings")
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-    val a = e.select(col("vec_id").as("id_a"), col("v").as("v_a"))
-    val b = e.select(col("vec_id").as("id_b"), col("v").as("v_b"))
+      .withColumn("n", Similarity.norm(col("v"))) // once per row, not per pair
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("v_a"),
+      col("n").as("n_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("v_b"),
+      col("n").as("n_b"))
     a.join(broadcast(b), col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(Similarity.cosine(col("v_a"), col("v_b")), 6).as("cos"))
+        round(Similarity.cosinePre(col("v_a"), col("v_b"),
+          col("n_a"), col("n_b")), 6).as("cos"))
       .where(col("cos") >= 0.35)
       .orderBy("id_a", "id_b")
   }

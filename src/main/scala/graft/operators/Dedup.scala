@@ -160,12 +160,16 @@ object Dedup {
     val sig = df.select(col(idCol).as("id"),
       transform(col(embCol), x => x.cast("double")).as("v"))
       .withColumn("bucket", Similarity.hyperplaneSig(col("v"), dim, nPlanes))
-    val a = sig.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = sig.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+      .withColumn("n", Similarity.norm(col("v"))) // once per row, not per pair
+    val a = sig.select(col("bucket"), col("id").as("id_a"),
+      col("v").as("v_a"), col("n").as("n_a"))
+    val b = sig.select(col("bucket"), col("id").as("id_b"),
+      col("v").as("v_b"), col("n").as("n_b"))
     a.join(b, Seq("bucket"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        Similarity.cosine(col("v_a"), col("v_b")).as("cos"))
+        Similarity.cosinePre(col("v_a"), col("v_b"),
+          col("n_a"), col("n_b")).as("cos"))
       .where(col("cos") >= threshold)
       .dropDuplicates("id_a", "id_b")
   }

@@ -14,11 +14,22 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two array<double> columns (codegen'd HOF chain). */
+  /** Dot product of two array<double> columns — native Catalyst
+    * expression (graft.functions.VecDot): the equivalent
+    * aggregate(zip_with(...)) HOF chain is interpreted per element, which
+    * dominates all-pairs similarity stages (|pairs| x dim evaluations);
+    * the native loop is codegen'd and allocation-free with the same
+    * left-to-right accumulation order (bit-identical results). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+    graft.functions.VecDot.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** cosine with the norms supplied as pre-computed per-row columns —
+    * bit-identical to `cosine` (same sqrt values, computed once per row
+    * instead of once per PAIR; there is no cross-join CSE in Catalyst). */
+  def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * greatest(nb, lit(1e-12)))
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * greatest(norm(b), lit(1e-12)))
@@ -48,9 +59,11 @@ object Similarity {
       queries: DataFrame, // (qid, qv: array<double>)
       corpus: DataFrame,  // (cid, cv: array<double>)
       k: Int): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
+    val scored = corpus.withColumn("__cn", norm(col("cv")))
+      .crossJoin(broadcast(queries.withColumn("__qn", norm(col("qv")))))
       .where(col("qid") =!= col("cid"))
-      .withColumn("score", cosine(col("qv"), col("cv")))
+      .withColumn("score",
+        cosinePre(col("qv"), col("cv"), col("__qn"), col("__cn")))
     val w = Window.partitionBy(col("qid"))
       .orderBy(round(col("score"), 6).desc, col("cid").asc)
     scored.withColumn("rk", row_number().over(w))
@@ -82,9 +95,11 @@ object Similarity {
       .withColumn("bucket",
         explode(array(flips.map(f => col("bucket0").bitwiseXOR(lit(f))): _*)))
       .drop("bucket0")
-    val scored = qs.join(cs, Seq("bucket"))
+    val scored = qs.withColumn("__qn", norm(col("qv")))
+      .join(cs.withColumn("__cn", norm(col("cv"))), Seq("bucket"))
       .where(col("qid") =!= col("cid"))
-      .withColumn("score", cosine(col("qv"), col("cv")))
+      .withColumn("score",
+        cosinePre(col("qv"), col("cv"), col("__qn"), col("__cn")))
       .dropDuplicates("qid", "cid")
     val w = Window.partitionBy(col("qid"))
       .orderBy(round(col("score"), 6).desc, col("cid").asc)
