@@ -36,21 +36,32 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplane component j of plane p:
     * uniform in [-1, 1) derived from xxhash64 — same family as the data
-    * generator, reproducible at any parallelism. */
-  private def planeCoeff(p: Int, j: Column): Column =
-    (pmod(xxhash64(lit("plane"), lit(p), j), lit(2000000L)).cast("double") /
-      1000000.0) - 1.0
+    * generator, reproducible at any parallelism. The coefficients are
+    * row-invariant, so they're folded ONCE at plan-build time by
+    * evaluating the same Catalyst expressions driver-side (identical
+    * values to the previous per-row evaluation). */
+  private def planeCoeff(p: Int, j: Int): Column =
+    (pmod(xxhash64(lit("plane"), lit(p), lit(j)), lit(2000000L))
+      .cast("double") / 1000000.0) - 1.0
 
-  /** Sign-bit signature across nPlanes hyperplanes -> long bucket id. */
-  def hyperplaneSig(v: Column, dim: Int, nPlanes: Int): Column = {
-    val bits = (0 until nPlanes).map { p =>
-      val d = aggregate(
-        zip_with(v, sequence(lit(0), lit(dim - 1)), (x, j) => x * planeCoeff(p, j)),
-        lit(0.0), (s, x) => s + x)
-      when(d >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  private val planeCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, Int), Array[Array[Double]]]
+
+  def planeMatrix(dim: Int, nPlanes: Int): Array[Array[Double]] =
+    planeCache.getOrElseUpdate((dim, nPlanes), {
+      // one single-row driver-side select folds all coefficients through
+      // the normal analyzer (constant expressions; no data read)
+      val spark = org.apache.spark.sql.SparkSession.active
+      val cols = for (p <- 0 until nPlanes; j <- 0 until dim)
+        yield planeCoeff(p, j)
+      val row = spark.range(1).select(cols: _*).head()
+      Array.tabulate(nPlanes, dim)((p, j) => row.getDouble(p * dim + j))
+    })
+
+  /** Sign-bit signature across nPlanes hyperplanes -> long bucket id
+    * (native expression; one primitive loop per row in codegen). */
+  def hyperplaneSig(v: Column, dim: Int, nPlanes: Int): Column =
+    graft.functions.HyperplaneSig.sig(v, planeMatrix(dim, nPlanes))
 
   /** Brute-force cosine top-k: for each query vector, the k most similar
     * corpus vectors (excluding itself when ids collide). Queries are
