@@ -99,22 +99,31 @@ object Dedup {
     val packed = (0 until n).map(j =>
       (i: Column) => element_at(col(tokensCol), i + j + 1).cast("long"))
       .reduceLeft[(Column => Column)]((f, g) => i => f(i) * 1031L + g(i))
+    // sorted distinct shingle sets: the pairwise jaccard then needs only a
+    // native merge-count (graft.functions.IntersectCount) — no per-pair
+    // array_intersect/array_union allocation; |A∪B| = |A|+|B|-|A∩B|
     val shingles = df
       .where(size(col(tokensCol)) >= n)
       .select(
         col(idCol).as("id") +:
-          (array_distinct(transform(
+          (array_sort(array_distinct(transform(
             sequence(lit(0), size(col(tokensCol)) - n),
-            i => packed(i))).as("sh")) +:
+            i => packed(i)))).as("sh")) +:
           blockingCols.zipWithIndex.map { case (c, i) => c.as(s"bk$i") }: _*)
+      .withColumn("nsh", size(col("sh")))
     val keys = blockingCols.indices.map(i => s"bk$i")
-    val a = shingles.select(col("id").as("id_a") +: col("sh").as("sh_a") +: keys.map(col): _*)
-    val b = shingles.select(col("id").as("id_b") +: col("sh").as("sh_b") +: keys.map(col): _*)
+    val a = shingles.select(col("id").as("id_a") +: col("sh").as("sh_a") +:
+      col("nsh").as("nsh_a") +: keys.map(col): _*)
+    val b = shingles.select(col("id").as("id_b") +: col("sh").as("sh_b") +:
+      col("nsh").as("nsh_b") +: keys.map(col): _*)
     val joined = if (keys.nonEmpty) a.join(b, keys.toSeq) else a.crossJoin(b)
     joined.where(col("id_a") < col("id_b"))
+      .withColumn("__i",
+        graft.functions.IntersectCount.count(col("sh_a"), col("sh_b")))
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1)).cast("double"))
+        (col("__i").cast("double") /
+          greatest(col("nsh_a") + col("nsh_b") - col("__i"), lit(1))
+            .cast("double"))
           .as("jaccard"))
       .where(col("jaccard") >= threshold)
   }

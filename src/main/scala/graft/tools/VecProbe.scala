@@ -23,6 +23,8 @@ object VecProbe {
         println("rows=" + graft.engine.Queries2.all("q17_cosine_topk")(spark, dir).count()))
       time(s"q28_ann_topk rep$rep")(
         println("rows=" + graft.engine.Queries3.q28AnnTopK(spark, dir).count()))
+      time(s"q15_ngram_jaccard rep$rep")(
+        println("rows=" + graft.engine.Queries2.all("q15_ngram_jaccard")(spark, dir).count()))
     }
     spark.stop()
   }
