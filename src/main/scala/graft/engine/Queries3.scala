@@ -156,6 +156,19 @@ object Queries3 {
       .orderBy("id_a", "id_b")
   }
 
+  // --------------------------------------------------------------- q34
+  /** IVF-bucketed ANN top-5 (the inverted-file scale path next to q28's
+    * hyperplane LSH). Centroid selection is xxhash64-derived -> rows-only
+    * check (no oracle entry); recall vs brute force asserted in ScalaTest. */
+  def q34IvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    Similarity.ivfTopK(
+      e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("v").as("qv")),
+      e.select(col("vec_id").as("cid"), col("v").as("cv")),
+      k = 5, nCentroids = 32, nProbe = 6).orderBy("qid", "rk")
+  }
+
   // ------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -167,7 +180,8 @@ object Queries3 {
     "q30_engine_energy" -> q30EngineEnergy,
     "q31_asof_native" -> q31AsofNative,
     "q32_midi_notes" -> q32MidiNotes,
-    "q33_embed_dup" -> q33EmbedDup)
+    "q33_embed_dup" -> q33EmbedDup,
+    "q34_ivf_topk" -> q34IvfTopK)
 
   private val toksSql =
     "list_transform(string_split(text, ' '), w -> length(w))"

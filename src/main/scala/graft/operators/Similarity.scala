@@ -118,4 +118,52 @@ object Similarity {
       .where(col("rk") <= k)
       .select(col("qid"), col("rk"), col("cid"), round(col("score"), 6).as("score"))
   }
+
+  /** IVF (inverted-file) ANN top-k — the other classic scale path next to
+    * hyperplane LSH. Centroids are a deterministic corpus sample (lowest
+    * xxhash64(cid): reproducible at any parallelism, no iterative k-means
+    * job); every corpus vector is assigned to its nearest centroid in ONE
+    * broadcast map stage (the inverted lists); each query probes its
+    * `nProbe` nearest centroids and re-ranks exactly inside those lists.
+    * At 10^12 rows: the centroid table stays driver-small (√N-ish), the
+    * assignment is map-only, and the candidate join is an equi-join on
+    * centroid_id — candidates ≈ nProbe/nCentroids of the corpus instead
+    * of a cross join. Recall < 1 by construction (cell-boundary misses). */
+  def ivfTopK(
+      queries: DataFrame, // (qid, qv)
+      corpus: DataFrame,  // (cid, cv)
+      k: Int,
+      nCentroids: Int = 64,
+      nProbe: Int = 4): DataFrame = {
+    val cents = corpus
+      .withColumn("__h", xxhash64(col("cid")))
+      .orderBy(col("__h"), col("cid")).limit(nCentroids)
+      .select(col("cid").as("centroid_id"), col("cv").as("centv"))
+      .withColumn("__centn", norm(col("centv")))
+    def nearest(df: DataFrame, vCol: String, idCol: String, take: Int) = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("__cs").desc, col("centroid_id").asc)
+      df.withColumn("__vn", norm(col(vCol)))
+        .crossJoin(broadcast(cents))
+        .withColumn("__cs",
+          cosinePre(col(vCol), col("centv"), col("__vn"), col("__centn")))
+        .withColumn("__rk", row_number().over(w))
+        .where(col("__rk") <= take)
+        .drop("centv", "__centn", "__cs", "__rk", "__vn")
+    }
+    val lists = nearest(corpus, "cv", "cid", 1) // inverted lists
+      .withColumn("__cn", norm(col("cv")))
+    val probed = nearest(queries, "qv", "qid", nProbe)
+      .withColumn("__qn", norm(col("qv")))
+    val scored = probed.join(lists, Seq("centroid_id"))
+      .where(col("qid") =!= col("cid"))
+      .withColumn("score",
+        cosinePre(col("qv"), col("cv"), col("__qn"), col("__cn")))
+      .dropDuplicates("qid", "cid")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(round(col("score"), 6).desc, col("cid").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("cid"), round(col("score"), 6).as("score"))
+  }
 }

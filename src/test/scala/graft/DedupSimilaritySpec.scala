@@ -58,6 +58,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(ann.size <= 50)
   }
 
+  test("IVF top-k recall vs brute force is substantial") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val c = e.select(col("vec_id").as("cid"), col("v").as("cv"))
+    val exact = Similarity.cosineTopK(q, c, 5)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    val ivf = Similarity.ivfTopK(q, c, k = 5, nCentroids = 16, nProbe = 4)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall too low: $recall")
+    assert(ivf.size <= 50)
+    // determinism: same plan twice -> same rows
+    val again = Similarity.ivfTopK(q, c, k = 5, nCentroids = 16, nProbe = 4)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    assert(again == ivf)
+  }
+
   test("exact dedup keeps the smallest id per duplicate group") {
     val kept = Dedup.exact(docs, Seq("tokens"), "doc_id")
       .select("doc_id").as[Long].collect().toSet
