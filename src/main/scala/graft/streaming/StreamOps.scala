@@ -22,6 +22,41 @@ object StreamOps {
   case class SessionOut(user_id: Long, session_start: Long, session_end: Long,
       n_events: Long, sum_value: Double)
 
+  case class Tagged(user_id: Long, ts: Long, tag: Int, value: Double)
+  case class CarryState(featureTs: Long, featureValue: Double)
+  case class AsOfOut(user_id: Long, ts: Long, matched_ts: Option[Long],
+      feature_value: Option[Double])
+
+  /** Streaming as-of join (the J2 centerpiece as a stateful stream): one
+    * unioned stream of tagged rows per entity — tag 0 = feature, tag 1 =
+    * query — with per-entity state carrying ONLY the latest feature row
+    * (O(1) state per key, the same property as the batch AsOfJoinExec).
+    * Each query emits the latest feature with feature.ts <= query.ts;
+    * within a micro-batch rows are processed in (ts, tag) order so a
+    * feature at ts t is visible to a query at the same t (inclusive
+    * as-of) and never to an earlier one (zero leakage). The carry
+    * persists across micro-batches, which is exactly the
+    * getRemainingFeatures-style continuity of the reference's block
+    * loop. Late data beyond the in-order-per-entity assumption is the
+    * caller's watermark decision, as with any streaming join. */
+  def asofStream(tagged: Dataset[Tagged]): Dataset[AsOfOut] = {
+    import tagged.sparkSession.implicits._
+    tagged
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[Tagged], state: GroupState[CarryState]) => {
+          var carry = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[AsOfOut]
+          rows.toSeq.sortBy(r => (r.ts, r.tag)).foreach { r =>
+            if (r.tag == 0) carry = Some(CarryState(r.ts, r.value))
+            else out += AsOfOut(user, r.ts,
+              carry.map(_.featureTs), carry.map(_.featureValue))
+          }
+          carry.foreach(state.update)
+          out.iterator
+        })
+  }
+
   /** Watermarked sliding-window aggregation (W1 streaming analog). */
   def windowedAgg(events: DataFrame, window_ : String = "5 minutes",
       slide: String = "1 minute", watermark: String = "10 minutes"): DataFrame =

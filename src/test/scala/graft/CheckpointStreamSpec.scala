@@ -80,6 +80,35 @@ class CheckpointStreamSpec extends AnyFunSuite {
       s.n_events == 1 && s.sum_value == 3.0))
   }
 
+  test("streaming as-of join carries the latest feature across batches") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[StreamOps.Tagged]
+    val q = StreamOps.asofStream(mem.toDS())
+      .writeStream.format("memory").queryName("asofstream")
+      .outputMode("append").start()
+    // batch 1: feature@10, query@5 (before any feature -> no match),
+    // query@10 (same-ts feature visible: inclusive as-of), query@15
+    mem.addData(
+      StreamOps.Tagged(1, 10, 0, 100.0),
+      StreamOps.Tagged(1, 5, 1, 0), StreamOps.Tagged(1, 10, 1, 0),
+      StreamOps.Tagged(1, 15, 1, 0))
+    q.processAllAvailable()
+    // batch 2: no new feature for user 1 -> the carry answers; then a
+    // newer feature@30 takes over for query@35
+    mem.addData(
+      StreamOps.Tagged(1, 20, 1, 0),
+      StreamOps.Tagged(1, 30, 0, 200.0), StreamOps.Tagged(1, 35, 1, 0))
+    q.processAllAvailable()
+    val out = spark.table("asofstream").as[StreamOps.AsOfOut]
+      .collect().map(o => o.ts -> ((o.matched_ts, o.feature_value))).toMap
+    q.stop()
+    assert(out(5L) == ((None, None)))                  // zero leakage
+    assert(out(10L) == ((Some(10L), Some(100.0))))     // inclusive <=
+    assert(out(15L) == ((Some(10L), Some(100.0))))
+    assert(out(20L) == ((Some(10L), Some(100.0))))     // cross-batch carry
+    assert(out(35L) == ((Some(30L), Some(200.0))))
+  }
+
   test("streaming windowed agg produces windows under watermark") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[StreamOps.Event]
