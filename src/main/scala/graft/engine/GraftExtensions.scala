@@ -1,0 +1,84 @@
+package graft.engine
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graftbridge.Bridge
+import graft.functions.{FrameAgg, IntersectCount, VecDot}
+
+/** The engine's SparkSessionExtensions: the canonical Spark integration
+  * point (`spark.sql.extensions=graft.engine.GraftExtensions`, or
+  * `SparkSession.builder.withExtensions(new GraftExtensions)`).
+  *
+  * Injects:
+  *   - the as-of planner strategy (graft.plans.AsOfJoinStrategy), so
+  *     AsOfJoinNode lowers to the single-pass sort-merge-carry exec;
+  *   - SQL bindings for the native expressions, making them usable from
+  *     `spark.sql(...)` (the reference's plugin-registry analog for SQL
+  *     users): vec_dot, intersect_count, frame_energy, frame_mean.
+  *
+  * `GraftExtensions.register(spark)` applies the same set to an ALREADY
+  * RUNNING session (extensions are otherwise builder-time only). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((name, info, builder))
+    }
+  }
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other if other.foldable => other.eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case x => throw new IllegalArgumentException(s"$what must be int, got $x")
+    }
+    case _ => throw new IllegalArgumentException(s"$what must be a literal int")
+  }
+
+  private def fn(name: String, usage: String)(
+      builder: Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo("graft", name, usage),
+      builder)
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    fn("vec_dot", "vec_dot(a, b) - dot product of two array<double>") {
+      case Seq(a, b) => VecDot(a, b)
+      case args => throw new IllegalArgumentException(
+        s"vec_dot takes 2 arguments, got ${args.length}")
+    },
+    fn("intersect_count",
+      "intersect_count(a, b) - common-element count of sorted distinct array<bigint>") {
+      case Seq(a, b) => IntersectCount(a, b)
+      case args => throw new IllegalArgumentException(
+        s"intersect_count takes 2 arguments, got ${args.length}")
+    },
+    fn("frame_energy",
+      "frame_energy(tokens, step, block) - per-frame mean square over array<int>") {
+      case Seq(t, s, b) =>
+        FrameAgg(t, intArg(s, "step"), intArg(b, "block"), "energy")
+      case args => throw new IllegalArgumentException(
+        s"frame_energy takes 3 arguments, got ${args.length}")
+    },
+    fn("frame_mean",
+      "frame_mean(tokens, step, block) - per-frame mean over array<int>") {
+      case Seq(t, s, b) =>
+        FrameAgg(t, intArg(s, "step"), intArg(b, "block"), "mean")
+      case args => throw new IllegalArgumentException(
+        s"frame_mean takes 3 arguments, got ${args.length}")
+    })
+
+  /** Apply strategy + SQL functions to a live session (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    graft.plans.AsOfNative.install(spark)
+    functions.foreach { case (name, info, builder) =>
+      Bridge.registerFunction(spark, name, info, builder)
+    }
+  }
+}
