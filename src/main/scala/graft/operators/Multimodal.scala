@@ -65,6 +65,56 @@ object Multimodal {
     }
   }
 
+  /** One sampled frame of a media payload. */
+  case class MediaFrame(id: Long, modality: String, frame_idx: Int,
+      frame: Array[Byte])
+
+  /** Frame sampling (video/audio): treat the payload as consecutive
+    * `frameBytes`-sized frames and emit every `every`-th one — one output
+    * row per sampled frame. Array-local per row (no shuffle); batched per
+    * partition like the decode stage. A trailing partial frame is kept
+    * (real decoders pad; the stub keeps the bytes as-is). */
+  def frameSample(media: Dataset[MediaRow], frameBytes: Int,
+      every: Int): Dataset[MediaFrame] = {
+    require(frameBytes > 0 && every > 0)
+    implicit val enc = Encoders.product[MediaFrame]
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val nFrames = (r.payload.length + frameBytes - 1) / frameBytes
+        Iterator.range(0, nFrames).filter(_ % every == 0).map { f =>
+          val from = f * frameBytes
+          val until = math.min(from + frameBytes, r.payload.length)
+          MediaFrame(r.id, r.modality, f,
+            java.util.Arrays.copyOfRange(r.payload, from, until))
+        }
+      }
+    }
+  }
+
+  /** Resize (images): update the typed metadata and transform the payload
+    * to the target pixel count. The pixel transform is STUBBED
+    * (deterministic nearest-neighbour byte subsample standing in for a
+    * real resampler); the schema/plumbing are the real thing. */
+  def resizeStub(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    require(w > 0 && h > 0)
+    implicit val enc = Encoders.product[MediaRow]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val n = w * h
+        val out = new Array[Byte](n)
+        if (r.payload.nonEmpty) {
+          var i = 0
+          while (i < n) {
+            // ??? <- real resampling kernel goes here; NN subsample below
+            out(i) = r.payload((i.toLong * r.payload.length / n).toInt)
+            i += 1
+          }
+        }
+        r.copy(payload = out, width = w, height = h)
+      }
+    }
+  }
+
   /** Build a media table from any table with a string payload column —
     * used by tests and the correctness gate (text bytes stand in for
     * media bytes; the plumbing is identical). */
