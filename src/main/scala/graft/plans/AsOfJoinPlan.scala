@@ -79,6 +79,12 @@ case class AsOfJoinExec(
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "left rows with a matched feature"))
+
   private def ordinal(out: Seq[Attribute], a: Attribute): Int = {
     val i = out.indexWhere(_.exprId == a.exprId)
     require(i >= 0, s"attribute $a missing from ${out.mkString(",")}")
@@ -86,6 +92,8 @@ case class AsOfJoinExec(
   }
 
   override protected def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
     val leftOut = left.output
     val rightOut = right.output
     val entityOrd = org.apache.spark.sql.catalyst.util.TypeUtils
@@ -145,6 +153,8 @@ case class AsOfJoinExec(
           if (rIter.hasNext) rHead = rIter.next() else { rHeadDone = true; rHead = null }
         }
         val matches = hasCarry && entityOrd.compare(carryEntity, le) == 0
+        numOutputRows += 1
+        if (matches) numMatched += 1
         project(joined(lRow, if (matches) carry else nullCarry))
       }
     }

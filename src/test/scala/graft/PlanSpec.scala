@@ -67,6 +67,22 @@ class PlanSpec extends AnyFunSuite {
     val exchanges = "Exchange".r.findAllIn(p).length
     assert(p.contains("AsOfJoin"), p)
     assert(exchanges == 2, s"expected 2 exchanges (one per side), got $exchanges:\n$p")
+    // SQL metrics: every query row counted, matches <= total. AQE off for
+    // this block — its stage wrappers hide the operator instance that
+    // actually ran; without it the df's own executedPlan is that instance
+    // (collect(), not count(): count builds a separate query execution)
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val out2 = graft.plans.AsOfNative.join(queries, feats, "doc_id", "ts", Seq("fv"))
+      val nOut = out2.collect().length.toLong
+      val exec = out2.queryExecution.executedPlan.collectFirst {
+        case e: graft.plans.AsOfJoinExec => e
+      }.get
+      assert(exec.metrics("numOutputRows").value == nOut)
+      assert(exec.metrics("numMatched").value <= nOut)
+      assert(exec.metrics("numMatched").value > 0)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 
   test("similarity pair scans keep the native expressions in the plan") {
