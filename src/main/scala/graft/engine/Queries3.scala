@@ -169,6 +169,16 @@ object Queries3 {
       k = 5, nCentroids = 32, nProbe = 6).orderBy("qid", "rk")
   }
 
+  // --------------------------------------------------------------- q35
+  /** Near-duplicate CLUSTERS: connected components (min-reachable-id
+    * label) over the q33 embedding-dup pair graph — the canonical-group
+    * assignment a dedup pipeline keys its "keep one per cluster" on.
+    * Oracle: DuckDB recursive-CTE transitive closure over the same pairs. */
+  def q35DedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(q33EmbedDup(s, dir), "id_a", "id_b")
+      .select(col("node").as("id"), col("cluster"))
+      .orderBy("id")
+
   // ------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -181,12 +191,31 @@ object Queries3 {
     "q31_asof_native" -> q31AsofNative,
     "q32_midi_notes" -> q32MidiNotes,
     "q33_embed_dup" -> q33EmbedDup,
-    "q34_ivf_topk" -> q34IvfTopK)
+    "q34_ivf_topk" -> q34IvfTopK,
+    "q35_dedup_clusters" -> q35DedupClusters)
 
   private val toksSql =
     "list_transform(string_split(text, ' '), w -> length(w))"
 
   val oracle: Map[String, String] = Map(
+    "q35_dedup_clusters" ->
+      """WITH RECURSIVE
+         v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         p AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM v a JOIN v b ON a.vec_id < b.vec_id
+           WHERE round(list_dot_product(a.emb, b.emb) /
+             (sqrt(list_dot_product(a.emb, a.emb)) *
+              greatest(sqrt(list_dot_product(b.emb, b.emb)), 1e-12)), 6)
+             >= 0.35),
+         e AS (SELECT id_a AS a, id_b AS b FROM p
+               UNION SELECT id_b, id_a FROM p),
+         reach(node, r) AS (
+           SELECT a, a FROM e
+           UNION
+           SELECT reach.node, e.b FROM reach JOIN e ON reach.r = e.a)
+         SELECT node AS id, min(r) AS cluster FROM reach
+         GROUP BY 1 ORDER BY 1""",
     "q33_embed_dup" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
          SELECT a.vec_id AS id_a, b.vec_id AS id_b,

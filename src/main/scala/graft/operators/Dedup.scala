@@ -156,6 +156,50 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Connected components over a near-dup pair table -> (node, cluster)
+    * with cluster = the minimum reachable id; training pipelines dedupe by
+    * keeping one representative per CLUSTER, not per pair. Iterative
+    * min-label propagation: one shuffle per round, converges in
+    * O(component diameter) rounds (near-dup clusters are near-cliques, so
+    * 2-3 in practice); the large-star/small-star algorithm is the drop-in
+    * upgrade if diameters ever grow. Singletons (no pair) are omitted,
+    * matching the pair table's domain. */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    // localCheckpoint (not cache) between rounds: each iteration's plan
+    // embeds TWO copies of the previous one (join + union), so without
+    // lineage truncation the logical plan doubles per round and the
+    // optimizer OOMs by ~iteration 15. On a cluster this is a reliable
+    // checkpoint per round — also what makes the loop resumable.
+    val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .union(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("cluster", col("node"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val prop = edges
+        .join(labels.withColumnRenamed("node", "a"), "a")
+        .select(col("b").as("node"), col("cluster"))
+        .union(labels)
+        .groupBy("node").agg(min("cluster").as("cluster"))
+        .localCheckpoint(true)
+      val changed = prop
+        .join(labels.withColumnRenamed("cluster", "old"), "node")
+        .where(col("cluster") =!= col("old")).count()
+      labels = prop
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
   /** Embedding-cosine near-dup pairs via random-hyperplane LSH blocking
     * (sign bits of dot products with `nPlanes` deterministic pseudo-random
     * hyperplanes), verified with exact cosine >= threshold. */

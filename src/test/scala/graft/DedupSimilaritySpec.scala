@@ -77,6 +77,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(again == ivf)
   }
 
+  test("connected components label min-reachable id, multi-hop chains") {
+    // components: chain 1-2-3-4 (diameter 3 -> needs >1 iteration),
+    // pair {10,11}, and (20,21)+(21,22) triangle-free vee
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("exact dedup keeps the smallest id per duplicate group") {
     val kept = Dedup.exact(docs, Seq("tokens"), "doc_id")
       .select("doc_id").as[Long].collect().toSet
