@@ -174,27 +174,50 @@ object Dedup {
     // lineage truncation the logical plan doubles per round and the
     // optimizer OOMs by ~iteration 15. On a cluster this is a reliable
     // checkpoint per round — also what makes the loop resumable.
-    val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+    var edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
       .union(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
       .distinct()
       .localCheckpoint(true)
+    // size the iteration shuffles from the MEASURED edge count, not the
+    // session default — a 10^4-edge graph should not pay 32-task fixed
+    // costs per round, and a 10^12-edge graph needs more than 32
+    val nEdges = edges.count()
+    val spark = pairs.sparkSession
+    val defaultParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = math.max(1L, math.min(defaultParts.toLong, nEdges / 100000L + 1)).toInt
+    edges = edges.repartition(parts, col("a")).localCheckpoint(true)
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("cluster", col("node"))
       .localCheckpoint(true)
+    // convergence via the label-sum invariant: labels are minima over a
+    // monotonically growing reachable set, so per-node labels only ever
+    // DECREASE — the total is strictly decreasing until fixpoint, and an
+    // unchanged sum proves convergence without a compare join
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster").cast("decimal(38,0)"))).head()
+        .getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val prop = edges
+      val neigh = edges
         .join(labels.withColumnRenamed("node", "a"), "a")
         .select(col("b").as("node"), col("cluster"))
         .union(labels)
         .groupBy("node").agg(min("cluster").as("cluster"))
+        .localCheckpoint(true) // materialized once; the self-join below reuses it
+      // pointer jumping: follow each node's label to THAT node's label
+      // (labels are always existing node ids) — path compression turns
+      // O(diameter) rounds into O(log diameter)
+      val prop = neigh
+        .join(neigh.select(col("node").as("cluster"),
+          col("cluster").as("jumped")), Seq("cluster"))
+        .select(col("node"), col("jumped").as("cluster"))
         .localCheckpoint(true)
-      val changed = prop
-        .join(labels.withColumnRenamed("cluster", "old"), "node")
-        .where(col("cluster") =!= col("old")).count()
+      val s = labelSum(prop)
       labels = prop
-      converged = changed == 0
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       i += 1
     }
     labels

@@ -25,6 +25,8 @@ object VecProbe {
         println("rows=" + graft.engine.Queries3.q28AnnTopK(spark, dir).count()))
       time(s"q15_ngram_jaccard rep$rep")(
         println("rows=" + graft.engine.Queries2.all("q15_ngram_jaccard")(spark, dir).count()))
+      time(s"q35_dedup_clusters rep$rep")(
+        println("rows=" + graft.engine.Queries3.q35DedupClusters(spark, dir).count()))
     }
     spark.stop()
   }
