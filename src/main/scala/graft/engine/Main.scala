@@ -136,8 +136,15 @@ object Main {
       // reference --multiplex (runner/main.cpp:1158-1167): all selected
       // sources become ONE multi-channel input; we zip + mean-mixdown.
       // Driver collects only the id list (the selection, not the data).
+      // multiplex zips ALL selected inputs into one multi-channel row
+      // (reference: N files -> one N-channel stream); bound the collect so
+      // a misdirected full-table run fails fast instead of OOMing the
+      // driver or building a 10^6-ary zip
       val ids = seqs.select(col("doc_id").cast("string")).distinct()
-        .orderBy("doc_id").collect().map(_.getString(0)).toSeq
+        .orderBy("doc_id").limit(4097).collect().map(_.getString(0)).toSeq
+      require(ids.size <= 4096,
+        "--multiplex combines all selected inputs into ONE sequence; " +
+          "more than 4096 docs selected — narrow the selection (--manifest)")
       val mixed = graft.operators.Multiplex.mixdown(
         graft.operators.Multiplex.multiplex(
           seqs.withColumn("doc_id", col("doc_id").cast("string")), ids),

@@ -183,6 +183,8 @@ object Dedup {
     // costs per round, and a 10^12-edge graph needs more than 32
     val nEdges = edges.count()
     val spark = pairs.sparkSession
+    if (nEdges == 0) // no pairs -> no clustered nodes (sum probe would NPE)
+      return edges.select(col("a").as("node"), col("a").as("cluster"))
     val defaultParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val parts = math.max(1L, math.min(defaultParts.toLong, nEdges / 100000L + 1)).toInt
     edges = edges.repartition(parts, col("a")).localCheckpoint(true)
