@@ -82,7 +82,11 @@ object Bench {
     spark = session(lowCores)
     var seqs = spark.read.parquet(seqPath)
     Pipelines.runAndChecksum(Pipelines.asofFeaturePipeline(spark, 2000)) // warmup
-    seqs.agg(org.apache.spark.sql.functions.sum("n_tok")).collect() // page-cache warm
+    // page-cache warm: scan the BULK column (tokens), not just n_tok —
+    // column pruning would leave the dominant bytes cold
+    seqs.agg(org.apache.spark.sql.functions.sum(
+      org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("tokens")))).collect()
     val tLow = minOf(reps) {
       chkLow = Pipelines.runAndChecksum(Pipelines.asofFeaturePipelineNativeOver(seqs))
     }
@@ -98,7 +102,9 @@ object Bench {
     spark = session(highCores)
     seqs = spark.read.parquet(seqPath)
     Pipelines.runAndChecksum(Pipelines.asofFeaturePipeline(spark, 2000))
-    seqs.agg(org.apache.spark.sql.functions.sum("n_tok")).collect() // page-cache warm
+    seqs.agg(org.apache.spark.sql.functions.sum(
+      org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("tokens")))).collect()
     val tHigh = minOf(repsHigh) {
       chkHigh = Pipelines.runAndChecksum(Pipelines.asofFeaturePipelineNativeOver(seqs))
     }

@@ -2,7 +2,8 @@ package graft.engine
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 import org.apache.spark.sql.graftbridge.Bridge
 import graft.functions.{FrameAgg, IntersectCount, VecDot}
 
@@ -46,16 +47,27 @@ object GraftExtensions {
       new ExpressionInfo("graft", name, usage),
       builder)
 
+  /** SQL-surface coercion (the built-ins get this via private
+    * ImplicitCastInputTypes): cast e.g. array<decimal> literals to the
+    * expected element type so `vec_dot(array(1.0, 2.0), ...)` just works. */
+  private def asArrayOf(e: Expression, elem: DataType): Expression =
+    e.dataType match {
+      case ArrayType(`elem`, _) => e
+      case ArrayType(_, _) => Cast(e, ArrayType(elem))
+      case _ => e // leave as-is; checkInputDataTypes reports it
+    }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     fn("vec_dot", "vec_dot(a, b) - dot product of two array<double>") {
-      case Seq(a, b) => VecDot(a, b)
+      case Seq(a, b) => VecDot(asArrayOf(a, DoubleType), asArrayOf(b, DoubleType))
       case args => throw new IllegalArgumentException(
         s"vec_dot takes 2 arguments, got ${args.length}")
     },
     fn("intersect_count",
       "intersect_count(a, b) - common-element count of sorted distinct array<bigint>") {
-      case Seq(a, b) => IntersectCount(a, b)
+      case Seq(a, b) =>
+        IntersectCount(asArrayOf(a, LongType), asArrayOf(b, LongType))
       case args => throw new IllegalArgumentException(
         s"intersect_count takes 2 arguments, got ${args.length}")
     },

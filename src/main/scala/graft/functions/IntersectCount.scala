@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -20,20 +19,28 @@ import org.apache.spark.sql.graftbridge.Bridge
 case class IntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  override def checkInputDataTypes(): TypeCheckResult =
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
-        TypeCheckResult.TypeCheckSuccess
-      case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"intersect_count needs array<bigint> x array<bigint>, got " +
-          s"${l.catalogString} x ${r.catalogString}")
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"intersect_count needs array<bigint> x array<bigint>, got " +
+            s"${l.catalogString} x ${r.catalogString}")
     }
   override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
   override def prettyName: String = "intersect_count"
 
-  /** shared by eval and codegen (via reference object). */
-  def compute(a: ArrayData, b: ArrayData): Int = {
+  /** shared by eval and codegen (via reference object). Lengths MAY
+    * differ (set semantics); a null element — which array_sort places
+    * LAST, so an O(1) tail check suffices — makes the result NULL,
+    * surfacing corrupt shingle sets instead of under-counting. */
+  def compute(a: ArrayData, b: ArrayData): java.lang.Integer = {
     val na = a.numElements(); val nb = b.numElements()
+    if ((na > 0 && a.isNullAt(na - 1)) || (nb > 0 && b.isNullAt(nb - 1)))
+      return null
     var i = 0; var j = 0; var c = 0
     while (i < na && j < nb) {
       val x = a.getLong(i); val y = b.getLong(j)
@@ -41,7 +48,7 @@ case class IntersectCount(left: Expression, right: Expression)
       else if (x < y) i += 1
       else j += 1
     }
-    c
+    java.lang.Integer.valueOf(c)
   }
 
   override def nullSafeEval(a: Any, b: Any): Any =
@@ -49,7 +56,10 @@ case class IntersectCount(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val self = ctx.addReferenceObj("ic", this, classOf[IntersectCount].getName)
-    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $self.compute($a, $b);")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Integer ${ev.value}_r = $self.compute($a, $b);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.intValue(); }""")
   }
 
   override protected def withNewChildrenInternal(

@@ -14,9 +14,12 @@ import org.apache.spark.sql.graftbridge.Bridge
   * is interpreted per element with a boxed accumulator — on an all-pairs
   * similarity join (|pairs| × dim evaluations) that chain dominates the
   * stage. This runs the same sum as a primitive double loop inside
-  * whole-stage codegen. Accumulation order is left-to-right, identical to
-  * the HOF fold and to DuckDB's list_dot_product, so results are
-  * bit-identical to the oracle. */
+  * whole-stage codegen. Semantics match the HOF form exactly: left-to-right
+  * accumulation (bit-identical sums), NULL on length mismatch (zip_with
+  * pads with null) and NULL on any null element — corrupt vectors surface
+  * as NULL, never as a plausible partial score. The SQL binding
+  * (GraftExtensions) inserts Casts so literal arrays coerce like
+  * built-in functions. */
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -29,18 +32,22 @@ case class VecDot(left: Expression, right: Expression)
           s"${l.catalogString} x ${r.catalogString}")
     }
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "vec_dot"
 
-  /** shared by eval and codegen (via reference object). */
-  def compute(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  /** shared by eval and codegen (via reference object); null result for
+    * length mismatch / null elements, mirroring the zip_with form. */
+  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += a.getDouble(i) * b.getDouble(i)
       i += 1
     }
-    acc
+    java.lang.Double.valueOf(acc)
   }
 
   override def nullSafeEval(a: Any, b: Any): Any =
@@ -48,8 +55,10 @@ case class VecDot(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val self = ctx.addReferenceObj("vecDot", this, classOf[VecDot].getName)
-    nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = $self.compute($a, $b);")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}_r = $self.compute($a, $b);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.doubleValue(); }""")
   }
 
   override protected def withNewChildrenInternal(

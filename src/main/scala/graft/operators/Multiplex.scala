@@ -25,22 +25,35 @@ object Multiplex {
     require(docIds.nonEmpty)
     // ONE aggregation (an N-way join chain makes the optimizer blow up at
     // ~20 channels): collect (doc_id -> tokens) into a map, order channels
-    // by the requested docIds, pad each to the max length
+    // by the requested docIds, pad each to the max length.
+    // dropDuplicates first: the same doc selected twice (e.g. unioned
+    // input dirs) would otherwise hit DUPLICATE_MAP_KEY at runtime.
     val m = sequences.where(col("doc_id").isin(docIds: _*))
+      .dropDuplicates("doc_id")
       .groupBy()
       .agg(
         map_from_arrays(collect_list(col("doc_id")),
           collect_list(col("tokens"))).as("__m"),
         max(col("n_tok")).as("n_tok"))
+      // empty selection: global agg still emits one all-null row; the old
+      // join form returned zero rows — keep that contract
+      .where(col("n_tok").isNotNull)
     val ordered = transform(array(docIds.map(lit): _*),
       id => element_at(col("__m"), id))
     m.withColumn("channels",
-      transform(ordered, ch =>
-        // guard: sequence(1, 0) would generate a DESCENDING range in Spark
-        when(size(ch) < col("n_tok"),
-          concat(ch, transform(sequence(lit(1), col("n_tok") - size(ch)),
-            _ => lit(pad))))
-          .otherwise(ch)))
+        transform(ordered, ch =>
+          // guard: sequence(1, 0) would generate a DESCENDING range in Spark
+          when(size(ch) < col("n_tok"),
+            concat(ch, transform(sequence(lit(1), col("n_tok") - size(ch)),
+              _ => lit(pad))))
+            .otherwise(ch)))
+      // a requested doc_id absent from the input is a caller error: fail
+      // with a message, not a null channel silently zeroing the mixdown
+      .where(coalesce(assert_true(
+        !exists(col("channels"), ch => ch.isNull),
+        lit(s"multiplex: a requested doc_id is missing from the input " +
+          s"(requested: ${docIds.take(8).mkString(",")}${if (docIds.size > 8) ",…" else ""})")),
+        lit(true)))
       // the first source provides the nominal output name (reference
       // MultiplexedReader.cpp:22 via FeatureExtractionManager.cpp:700)
       .select(lit(docIds.head).as("doc_id"), col("n_tok"),

@@ -45,9 +45,9 @@ object Similarity {
       .cast("double") / 1000000.0) - 1.0
 
   private val planeCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, Int), Array[Array[Double]]]
+    scala.collection.concurrent.TrieMap.empty[(Int, Int), Seq[Seq[Double]]]
 
-  def planeMatrix(dim: Int, nPlanes: Int): Array[Array[Double]] =
+  def planeMatrix(dim: Int, nPlanes: Int): Seq[Seq[Double]] =
     planeCache.getOrElseUpdate((dim, nPlanes), {
       // one single-row driver-side select folds all coefficients through
       // the normal analyzer (constant expressions; no data read)
@@ -55,7 +55,7 @@ object Similarity {
       val cols = for (p <- 0 until nPlanes; j <- 0 until dim)
         yield planeCoeff(p, j)
       val row = spark.range(1).select(cols: _*).head()
-      Array.tabulate(nPlanes, dim)((p, j) => row.getDouble(p * dim + j))
+      Seq.tabulate(nPlanes, dim)((p, j) => row.getDouble(p * dim + j))
     })
 
   /** Sign-bit signature across nPlanes hyperplanes -> long bucket id

@@ -48,8 +48,12 @@ object StreamOps {
           var carry = state.getOption
           val out = scala.collection.mutable.ArrayBuffer.empty[AsOfOut]
           rows.toSeq.sortBy(r => (r.ts, r.tag)).foreach { r =>
-            if (r.tag == 0) carry = Some(CarryState(r.ts, r.value))
-            else out += AsOfOut(user, r.ts,
+            if (r.tag == 0) {
+              // a LATE feature older than the carry must not regress it —
+              // the batch join would keep the newer row for future queries
+              if (carry.forall(_.featureTs <= r.ts))
+                carry = Some(CarryState(r.ts, r.value))
+            } else out += AsOfOut(user, r.ts,
               carry.map(_.featureTs), carry.map(_.featureValue))
           }
           carry.foreach(state.update)

@@ -18,6 +18,21 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Evaluate a builder-time SparkSessionExtensions instance (its build
+    * methods are private[sql]) — lets tests assert what apply() injected
+    * without constructing a fresh SparkSession. */
+  def builtPlannerStrategies(ext: org.apache.spark.sql.SparkSessionExtensions,
+      spark: org.apache.spark.sql.SparkSession): Seq[org.apache.spark.sql.execution.SparkStrategy] =
+    ext.buildPlannerStrategies(spark)
+
+  def registerInjectedFunctions(ext: org.apache.spark.sql.SparkSessionExtensions,
+      registry: org.apache.spark.sql.catalyst.analysis.FunctionRegistry)
+      : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
+    ext.registerFunctions(registry)
+
+  def emptyFunctionRegistry(): org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
+    new org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry
+
   /** Register a SQL function on an EXISTING session (sessionState is
     * private[sql]); the builder-time path is SparkSessionExtensions. */
   def registerFunction(spark: org.apache.spark.sql.SparkSession,

@@ -109,6 +109,24 @@ class CheckpointStreamSpec extends AnyFunSuite {
     assert(out(35L) == ((Some(30L), Some(200.0))))
   }
 
+  test("streaming as-of: a late, older feature does not regress the carry") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[StreamOps.Tagged]
+    val q = StreamOps.asofStream(mem.toDS())
+      .writeStream.format("memory").queryName("asoflate")
+      .outputMode("append").start()
+    mem.addData(StreamOps.Tagged(1, 30, 0, 200.0))
+    q.processAllAvailable()
+    // batch 2 delivers an OLDER feature (ts=10) then a query at ts=40 —
+    // the batch join's answer for ts=40 is the ts=30 feature
+    mem.addData(StreamOps.Tagged(1, 10, 0, 100.0), StreamOps.Tagged(1, 40, 1, 0))
+    q.processAllAvailable()
+    val out = spark.table("asoflate").as[StreamOps.AsOfOut]
+      .collect().map(o => o.ts -> ((o.matched_ts, o.feature_value))).toMap
+    q.stop()
+    assert(out(40L) == ((Some(30L), Some(200.0))))
+  }
+
   test("streaming windowed agg produces windows under watermark") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[StreamOps.Event]

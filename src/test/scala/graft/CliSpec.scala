@@ -101,6 +101,23 @@ class CliSpec extends AnyFunSuite {
     assert(peaks.forall(p => math.abs(p - 1.0) < 1e-6 || p == 0.0))
   }
 
+  test("multiplex: duplicate selection tolerated, missing doc_id fails fast") {
+    val seqs = Seq(
+      ("a", Seq(1, 2, 3), 3, "s"), ("a", Seq(1, 2, 3), 3, "s"), // dup doc
+      ("b", Seq(4, 5), 2, "s")).toDF("doc_id", "tokens", "n_tok", "source")
+    val ok = Multiplex.multiplex(seqs, Seq("a", "b")).collect()
+    assert(ok.length == 1 && ok.head.getAs[Int]("n_tok") == 3)
+    // a requested id absent from the input raises a clear error
+    val err = intercept[Exception] {
+      Multiplex.multiplex(seqs, Seq("a", "zzz")).collect()
+    }
+    assert(err.getMessage.contains("multiplex") ||
+      Option(err.getCause).exists(_.getMessage.contains("multiplex")),
+      err.getMessage)
+    // fully-missing selection -> zero rows (not one all-null row)
+    assert(Multiplex.multiplex(seqs, Seq("zzz2")).count() == 0)
+  }
+
   test("manifest source selects a doc subset (playlist analog)") {
     val seqs = Tables.sequences(spark, inputPath)
     val manifest = Seq("doc_0000000001", "doc_0000000002").toDF("doc_id")

@@ -32,22 +32,36 @@ class ExtensionsSpec extends AnyFunSuite {
       .head().getDouble(0) == 2.0)
   }
 
-  test("builder-time extensions create a session with strategy + functions") {
-    val s2 = org.apache.spark.sql.SparkSession.builder()
-      .master("local[2]")
-      .appName("graft-ext-test")
-      .withExtensions(new GraftExtensions)
-      .getOrCreate()
-    try {
-      // getOrCreate may hand back the shared session (extensions applied
-      // only on a fresh one); register() covers that path, so assert on
-      // whichever session we got after a defensive register.
-      GraftExtensions.register(s2)
-      assert(s2.sql("SELECT vec_dot(array(2.0d, 2.0d), array(3.0d, 3.0d))")
-        .head().getDouble(0) == 12.0)
-      assert(s2.experimental.extraStrategies
-        .exists(_.isInstanceOf[graft.plans.AsOfJoinStrategy.type]))
-    } finally ()
+  test("builder-time apply() actually injects the strategy and functions") {
+    // getOrCreate would hand back the shared session (extensions apply
+    // only on construction) — evaluate the extensions object itself
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions()(ext)
+    val strategies = org.apache.spark.sql.graftbridge.Bridge
+      .builtPlannerStrategies(ext, spark)
+    assert(strategies.exists(_.isInstanceOf[graft.plans.AsOfJoinStrategy.type]))
+    val reg = org.apache.spark.sql.graftbridge.Bridge.registerInjectedFunctions(
+      ext, org.apache.spark.sql.graftbridge.Bridge.emptyFunctionRegistry())
+    for (name <- Seq("vec_dot", "intersect_count", "frame_energy", "frame_mean"))
+      assert(reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)),
+        s"$name not registered by apply()")
+  }
+
+  test("SQL functions coerce natural literals and surface corrupt inputs as NULL") {
+    GraftExtensions.register(spark)
+    // unsuffixed decimal literals: array<decimal> must implicit-cast
+    assert(spark.sql("SELECT vec_dot(array(1.0, 2.0), array(3.0, 4.0))")
+      .head().getDouble(0) == 11.0)
+    assert(spark.sql("SELECT intersect_count(array(1, 3), array(3, 4))")
+      .head().getInt(0) == 1)
+    // length mismatch / null element -> NULL, matching the HOF forms
+    assert(spark.sql("SELECT vec_dot(array(1.0d), array(1.0d, 2.0d))").head().isNullAt(0))
+    assert(spark.sql(
+      "SELECT vec_dot(array(1.0d, CAST(NULL AS DOUBLE)), array(2.0d, 3.0d))")
+      .head().isNullAt(0))
+    assert(spark.sql(
+      "SELECT intersect_count(array(0L), array(CAST(NULL AS BIGINT)))")
+      .head().isNullAt(0))
   }
 
   test("frame_energy rejects non-literal step/block with a clear error") {
