@@ -179,6 +179,17 @@ object Queries3 {
       .select(col("node").as("id"), col("cluster"))
       .orderBy("id")
 
+  // --------------------------------------------------------------- q36
+  /** Near-dup dedup MATERIALIZED: the embeddings table with every
+    * non-representative cluster member dropped (keep min id per q35
+    * cluster) — the "keep one per cluster" output a training pipeline
+    * actually feeds downstream. */
+  def q36DedupKeep(s: SparkSession, dir: String): DataFrame =
+    Dedup.dropNearDuplicates(
+      t(s, dir, "embeddings").select(col("vec_id"), col("label")),
+      "vec_id", q33EmbedDup(s, dir))
+      .orderBy("vec_id")
+
   // ------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -192,12 +203,34 @@ object Queries3 {
     "q32_midi_notes" -> q32MidiNotes,
     "q33_embed_dup" -> q33EmbedDup,
     "q34_ivf_topk" -> q34IvfTopK,
-    "q35_dedup_clusters" -> q35DedupClusters)
+    "q35_dedup_clusters" -> q35DedupClusters,
+    "q36_dedup_keep" -> q36DedupKeep)
 
   private val toksSql =
     "list_transform(string_split(text, ' '), w -> length(w))"
 
   val oracle: Map[String, String] = Map(
+    "q36_dedup_keep" ->
+      """WITH RECURSIVE
+         v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         p AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM v a JOIN v b ON a.vec_id < b.vec_id
+           WHERE round(list_dot_product(a.emb, b.emb) /
+             (sqrt(list_dot_product(a.emb, a.emb)) *
+              greatest(sqrt(list_dot_product(b.emb, b.emb)), 1e-12)), 6)
+             >= 0.35),
+         e AS (SELECT id_a AS a, id_b AS b FROM p
+               UNION SELECT id_b, id_a FROM p),
+         reach(node, r) AS (
+           SELECT a, a FROM e
+           UNION
+           SELECT reach.node, e.b FROM reach JOIN e ON reach.r = e.a),
+         losers AS (
+           SELECT node FROM reach GROUP BY node HAVING node <> min(r))
+         SELECT vec_id, label FROM embeddings
+         WHERE vec_id NOT IN (SELECT node FROM losers)
+         ORDER BY vec_id""",
     "q35_dedup_clusters" ->
       """WITH RECURSIVE
          v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

@@ -225,6 +225,23 @@ object Dedup {
     labels
   }
 
+  /** The dedup materializer: drop every row whose id belongs to a
+    * near-dup cluster but is not the cluster representative (minimum id)
+    * — "keep one per cluster", the near-dup analog of [[exact]]. The
+    * anti join is the only touch on the (huge) corpus; clustering runs
+    * on the (small) pair graph. */
+  def dropNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String = "id_a",
+      bCol: String = "id_b"): DataFrame = {
+    val losers = connectedComponents(pairs, aCol, bCol)
+      .where(col("node") =!= col("cluster"))
+      .select(col("node").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Embedding-cosine near-dup pairs via random-hyperplane LSH blocking
     * (sign bits of dot products with `nPlanes` deterministic pseudo-random
     * hyperplanes), verified with exact cosine >= threshold. */

@@ -88,6 +88,15 @@ class DedupSimilaritySpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("dropNearDuplicates keeps only the cluster representative") {
+    val corpus = (1L to 12L).map(i => (i, s"row$i")).toDF("id", "payload")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val kept = Dedup.dropNearDuplicates(corpus, "id", pairs)
+      .select("id").as[Long].collect().toSet
+    // clusters {1,2,3} and {10,11} keep 1 and 10; singletons untouched
+    assert(kept == Set(1L, 4L, 5L, 6L, 7L, 8L, 9L, 10L, 12L))
+  }
+
   test("exact dedup keeps the smallest id per duplicate group") {
     val kept = Dedup.exact(docs, Seq("tokens"), "doc_id")
       .select("doc_id").as[Long].collect().toSet
