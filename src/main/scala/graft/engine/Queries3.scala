@@ -190,6 +190,18 @@ object Queries3 {
       "vec_id", q33EmbedDup(s, dir))
       .orderBy("vec_id")
 
+  // --------------------------------------------------------------- q37
+  /** Sequence packing (training-data layout): every doc assigned to the
+    * 2048-token training bin where its first token lands on the
+    * deterministic doc_id-ordered stream — computed with the two-stage
+    * distributed prefix sum (no single-partition window). */
+  def q37Pack(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.packGreedy(
+      docsTok(s, dir).select(col("doc_id"), col("n_tok")),
+      "doc_id", "n_tok", 2048)
+      .select(col("doc_id"), col("pack_start"), col("pack_bin"))
+      .orderBy("doc_id")
+
   // ------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -204,12 +216,24 @@ object Queries3 {
     "q33_embed_dup" -> q33EmbedDup,
     "q34_ivf_topk" -> q34IvfTopK,
     "q35_dedup_clusters" -> q35DedupClusters,
-    "q36_dedup_keep" -> q36DedupKeep)
+    "q36_dedup_keep" -> q36DedupKeep,
+    "q37_pack" -> q37Pack)
 
   private val toksSql =
     "list_transform(string_split(text, ' '), w -> length(w))"
 
   val oracle: Map[String, String] = Map(
+    "q37_pack" ->
+      s"""WITH t AS (SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+                     FROM documents),
+         c AS (SELECT doc_id, n,
+                 CAST(sum(n) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS s
+               FROM t)
+         SELECT doc_id, s - n AS pack_start, (s - n) // 2048 AS pack_bin
+         FROM c ORDER BY doc_id""",
     "q36_dedup_keep" ->
       """WITH RECURSIVE
          v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
