@@ -202,6 +202,20 @@ object Queries3 {
       .select(col("doc_id"), col("pack_start"), col("pack_bin"))
       .orderBy("doc_id")
 
+  // --------------------------------------------------------------- q38
+  /** Corpus-level vocabulary frequency top-100: the explode -> groupBy
+    * shape where map-side partial aggregation carries the whole job —
+    * at 10^12 docs the exploded stream is ~100× the row count, but the
+    * shuffle moves only |vocab| partial counts per task (the plan shows
+    * partial_count below the exchange). Deterministic tie-break on token. */
+  def q38VocabTopK(s: SparkSession, dir: String): DataFrame =
+    docsTok(s, dir)
+      .select(explode(col("tokens")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(100)
+
   // ------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -217,12 +231,17 @@ object Queries3 {
     "q34_ivf_topk" -> q34IvfTopK,
     "q35_dedup_clusters" -> q35DedupClusters,
     "q36_dedup_keep" -> q36DedupKeep,
-    "q37_pack" -> q37Pack)
+    "q37_pack" -> q37Pack,
+    "q38_vocab_topk" -> q38VocabTopK)
 
   private val toksSql =
     "list_transform(string_split(text, ' '), w -> length(w))"
 
   val oracle: Map[String, String] = Map(
+    "q38_vocab_topk" ->
+      s"""SELECT token, count(*) AS cnt
+         FROM (SELECT unnest($toksSql) AS token FROM documents)
+         GROUP BY token ORDER BY cnt DESC, token LIMIT 100""",
     "q37_pack" ->
       s"""WITH t AS (SELECT doc_id,
                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n
