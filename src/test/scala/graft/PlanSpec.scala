@@ -85,6 +85,18 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 
+  test("vocab count partial-aggregates below the exchange (map-side combine)") {
+    val df = spark.read.parquet(seqsPath)
+      .select(explode($"tokens").as("token"))
+      .groupBy("token").count()
+    val p = plan(df)
+    val partialIdx = p.indexOf("partial_count")
+    val exchangeIdx = p.indexOf("Exchange")
+    assert(partialIdx >= 0, p)
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"partial agg should appear BELOW (after, in toString order) the exchange:\n$p")
+  }
+
   test("similarity pair scans keep the native expressions in the plan") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
