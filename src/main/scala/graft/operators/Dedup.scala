@@ -174,8 +174,13 @@ object Dedup {
     // lineage truncation the logical plan doubles per round and the
     // optimizer OOMs by ~iteration 15. On a cluster this is a reliable
     // checkpoint per round — also what makes the loop resumable.
-    var edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
-      .union(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
+    // materialize the pair table FIRST: the symmetric-closure union below
+    // references it twice, and without this the (possibly expensive)
+    // pair-producing join would be evaluated twice
+    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .localCheckpoint(true)
+    var edges = p
+      .union(p.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .localCheckpoint(true)
     // size the iteration shuffles from the MEASURED edge count, not the
