@@ -174,15 +174,16 @@ object Dedup {
     // lineage truncation the logical plan doubles per round and the
     // optimizer OOMs by ~iteration 15. On a cluster this is a reliable
     // checkpoint per round — also what makes the loop resumable.
-    // materialize the pair table FIRST: the symmetric-closure union below
+    // cache the pair table FIRST: the symmetric-closure union below
     // references it twice, and without this the (possibly expensive)
-    // pair-producing join would be evaluated twice
-    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
-      .localCheckpoint(true)
+    // pair-producing join would be evaluated twice; released as soon as
+    // the edges checkpoint is materialized
+    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b")).cache()
     var edges = p
       .union(p.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .localCheckpoint(true)
+    p.unpersist()
     // size the iteration shuffles from the MEASURED edge count, not the
     // session default — a 10^4-edge graph should not pay 32-task fixed
     // costs per round, and a 10^12-edge graph needs more than 32

@@ -1,24 +1,32 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Sequence packing: lay the corpus out as one deterministic token
-  * stream (ordered by `orderCol`) and assign each doc to the training
-  * bin of capacity `binSize` where its first token lands — the packing
-  * step that turns variable-length documents into fixed-length training
+  * stream (ordered by `orderCol`, which must be a UNIQUE key — ties have
+  * no defined stream order) and assign each doc to the training bin of
+  * capacity `binSize` where its first token lands — the packing step
+  * that turns variable-length documents into fixed-length training
   * sequences. Docs are not split; a doc straddling a boundary belongs to
   * its start bin (greedy contiguous packing).
   *
-  * Scale design: the global running sum is a TWO-STAGE prefix sum, not a
-  * single-partition window — (1) range-partition by `orderCol` and take
-  * per-partition running sums, (2) collect ONE row per partition to the
-  * driver, prefix-sum those, broadcast back as offsets. The corpus is
-  * touched by exactly one range exchange; the driver handles #partitions
-  * rows. (A global `Window.orderBy` would move 10^12 rows through one
-  * task.) The result is invariant to where repartitionByRange draws its
-  * sampled split points: only the total order matters.
+  * Scale design — a distributed prefix sum with exactly ONE corpus
+  * exchange:
+  *   1. range-partition by `orderCol`, sort within partitions, compute
+  *      the per-partition running sum in ONE imperative pass
+  *      (mapPartitions — the genuine per-partition-state case; a window
+  *      would add a second full-corpus hash exchange on the partition
+  *      id), then MATERIALIZE (localCheckpoint). Materializing is
+  *      load-bearing for correctness, not just speed: repartitionByRange
+  *      re-samples split points per job, so without it the offsets job
+  *      and the output job could disagree on partition boundaries and
+  *      broadcast offsets would be applied to the wrong partitions.
+  *   2. aggregate ONE row per partition (sum of lengths), prefix-sum
+  *      those on the driver, broadcast back as per-partition offsets.
+  * The result is invariant to where the range sampler draws its split
+  * points: only the total order matters.
   */
 object Packing {
 
@@ -28,35 +36,49 @@ object Packing {
       lenCol: String,
       binSize: Long,
       partitions: Int = 0): DataFrame = {
-    require(binSize > 0)
+    require(binSize > 0, "binSize must be positive")
     val spark = df.sparkSession
     val n = if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    // stage 1: range-partition on the order key; pid is computed BELOW the
-    // window exchange (spark_partition_id is non-deterministic, so
-    // Catalyst cannot reorder it above), i.e. while data is still
-    // range-partitioned
+
     val ranged = df.repartitionByRange(n, col(orderCol))
+      .sortWithinPartitions(col(orderCol))
       .withColumn("__pid", spark_partition_id())
-    val wLocal = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
-    val local = ranged.withColumn("__lsum",
-      sum(col(lenCol).cast("long")).over(wLocal))
-    // stage 2: one row per partition -> driver prefix sum -> broadcast
+    val outSchema = ranged.schema.add("__lsum", LongType, nullable = false)
+    val lenIdx = ranged.schema.fieldIndex(lenCol)
+    // one imperative pass per partition: running sum in stream order
+    val local = ranged.mapPartitions { it =>
+      var acc = 0L
+      it.map { r =>
+        val len = r.get(lenIdx).asInstanceOf[Number].longValue()
+        require(len >= 0, s"negative $lenCol: $len (doc lengths must be >= 0)")
+        acc += len
+        Row.fromSeq(r.toSeq :+ acc)
+      }
+    }(Encoders.row(outSchema))
+      .localCheckpoint(true) // pin partition boundaries for BOTH jobs below
+
+    // one row per partition -> driver prefix sum -> broadcast offsets
     val partTotals = local.groupBy(col("__pid"))
-      .agg(max(col("__lsum")).as("__ptotal"))
+      .agg(sum(col(lenCol).cast("long")).as("__ptotal"))
       .orderBy(col("__pid"))
       .collect()
       .map(r => (r.getInt(0), r.getLong(1)))
-    val offsets = partTotals.scanLeft((Int.MinValue, 0L)) {
-      case ((_, acc), (pid, tot)) => (pid, acc + tot)
-    }.sliding(2).map { case Array((_, prev), (pid, _)) => (pid, prev) }
-      .toSeq
-    val offsetDf = spark.createDataFrame(offsets).toDF("__pid", "__offset")
-    // stage 3: global start offset of each doc; bin = floor(start/binSize)
+    if (partTotals.isEmpty) // empty corpus -> empty result, same schema
+      return local.withColumn("pack_start", lit(0L))
+        .withColumn("pack_bin", lit(0L))
+        .drop("__pid", "__lsum")
+    val prefix = partTotals.map(_._2).scanLeft(0L)(_ + _).init
+    val offsetDf = spark.createDataFrame(
+      partTotals.map(_._1).zip(prefix).toSeq).toDF("__pid", "__offset")
+
     local.join(broadcast(offsetDf), Seq("__pid"))
       .withColumn("pack_start",
         col("__lsum") + col("__offset") - col(lenCol).cast("long"))
-      .withColumn("pack_bin", floor(col("pack_start") / binSize))
+      // integer division (`div`), not floor(double /): double quotients
+      // misbin near boundaries once offsets exceed 2^53 / for binSizes
+      // that are inexact in binary FP
+      .withColumn("pack_bin", expr(s"pack_start div ${binSize}L"))
       .drop("__pid", "__lsum", "__offset")
   }
 }

@@ -19,7 +19,9 @@ class PackingSpec extends AnyFunSuite {
   }
 
   test("two-stage prefix sum equals a single-partition run at any parallelism") {
-    val df = SequenceGenFixture.docs(spark, 200)
+    // the shared corpus generator (includes the hot-skew doc cases)
+    val df = graft.sources.SequenceGen.generate(spark, 200, seed = 11L)
+      .toDF().select("doc_id", "n_tok")
     def run(parts: Int) = Packing.packGreedy(df, "doc_id", "n_tok", 1000, parts)
       .select("doc_id", "pack_start", "pack_bin")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
@@ -33,11 +35,24 @@ class PackingSpec extends AnyFunSuite {
     assert(maxEnd == total)
   }
 
-  object SequenceGenFixture {
-    def docs(s: org.apache.spark.sql.SparkSession, n: Int) = {
-      import s.implicits._
-      (0 until n).map(i => (f"doc_$i%05d", (i * 37 % 97) + 1))
-        .toDF("doc_id", "n_tok")
+  test("duplicate orderCol keys and negative lengths are rejected/defined") {
+    // negative length -> clear failure, not silent bin corruption
+    val bad = Seq(("a", 5), ("b", -1)).toDF("doc_id", "n_tok")
+    val e = intercept[Exception] {
+      Packing.packGreedy(bad, "doc_id", "n_tok", 10).collect()
     }
+    assert(e.getMessage.contains("negative") ||
+      Option(e.getCause).exists(_.getMessage.contains("negative")))
+  }
+
+  test("final plan reads the materialized prefix sums with no corpus re-shuffle") {
+    val df = Seq(("a", 5), ("b", 4)).toDF("doc_id", "n_tok")
+    val out = Packing.packGreedy(df, "doc_id", "n_tok", 6, partitions = 2)
+    val p = out.queryExecution.executedPlan.toString
+    // the one range exchange happened inside the checkpoint job; the
+    // output plan must only broadcast-join the tiny offsets table
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
   }
 }
