@@ -52,29 +52,43 @@ object AsOf {
       entityCol: String,
       tsCol: String,
       valueCols: Seq[String],
+      strict: Boolean = false): DataFrame =
+    joinKeyed(queries, features, Seq(entityCol), tsCol, valueCols, strict)
+
+  /** As-of join on a composite equi key. The window partitions by the actual
+    * column TUPLE — no string packing, so no possibility of distinct
+    * (entity, bucket) tuples colliding into one timeline (the round-1
+    * `concat_ws("")` bug: entity "u1"+bucket 23 == entity "u12"+bucket 3). */
+  def joinKeyed(
+      queries: DataFrame,
+      features: DataFrame,
+      entityCols: Seq[String],
+      tsCol: String,
+      valueCols: Seq[String],
       strict: Boolean = false): DataFrame = {
+    require(entityCols.nonEmpty)
     val qCols = queries.columns.toSeq
     require(valueCols.forall(!qCols.contains(_)),
       s"valueCols ${valueCols.filter(qCols.contains)} collide with query columns")
-    val qOther = qCols.filterNot(c => c == entityCol || c == tsCol)
+    val qOther = qCols.filterNot(c => entityCols.contains(c) || c == tsCol)
 
     // Shuffle-byte diet: matched_ts is NOT carried as a column — it is
     // reconstructed post-shuffle as last(when(tag=feature, ts)); at 10^12
     // rows every shuffled byte counts (measured: this exchange is the
     // pipeline's dominant cost on IO-constrained hosts).
     val fSel: Seq[Column] =
-      Seq(col(entityCol), col(tsCol), lit(if (strict) 2 else 0).as("__tag")) ++
+      entityCols.map(col) ++ Seq(col(tsCol), lit(if (strict) 2 else 0).as("__tag")) ++
         valueCols.map(c => col(c).as(s"__c_$c")) ++
         qOther.map(c => lit(null).cast(queries.schema(c).dataType).as(c))
     val fSide = features.select(fSel: _*)
 
     val qSel: Seq[Column] =
-      Seq(col(entityCol), col(tsCol), lit(1).as("__tag")) ++
+      entityCols.map(col) ++ Seq(col(tsCol), lit(1).as("__tag")) ++
         valueCols.map(c => lit(null).cast(features.schema(c).dataType).as(s"__c_$c")) ++
         qOther.map(col)
     val qSide = queries.select(qSel: _*)
 
-    val w = Window.partitionBy(col(entityCol))
+    val w = Window.partitionBy(entityCols.map(col): _*)
       .orderBy(col(tsCol).asc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
@@ -166,19 +180,5 @@ object AsOf {
     val matchedOut = packed.where(col("matched_ts").isNotNull)
       .select((qCols ++ valueCols :+ "matched_ts").map(col): _*)
     matchedOut.unionByName(fixedOut)
-  }
-
-  /** join() with a composite equi key (all key parts packed into one
-    * string key; used by joinBucketed where the bucket id joins the key). */
-  def joinKeyed(
-      queries: DataFrame,
-      features: DataFrame,
-      entityCols: Seq[String],
-      tsCol: String,
-      valueCols: Seq[String]): DataFrame = {
-    require(entityCols.nonEmpty)
-    val pack = (df: DataFrame) =>
-      df.withColumn("__ek", concat_ws("", entityCols.map(c => col(c).cast("string")): _*))
-    join(pack(queries), pack(features), "__ek", tsCol, valueCols).drop("__ek")
   }
 }

@@ -82,6 +82,39 @@ object AsOfProps extends Properties("asof") {
       }: _*)
     }
 
+  /** Regression for the round-1 joinKeyed bug: composite keys were packed
+    * with concat_ws("") so entity "a" + bucket 12 collided with entity
+    * "a1" + bucket 2. joinKeyed now partitions the window by the column
+    * TUPLE; this property generates prefix-extension entity ids ("a",
+    * "a1", "a12", "1", "12") with single-digit-adjacent timestamps and
+    * bucket widths, and demands bucketed ≡ plain on every sample. */
+  property("joinBucketed == join under prefix-colliding string ids") =
+    forAll(
+      Gen.listOfN(14, for {
+        e <- Gen.oneOf("a", "a1", "a12", "1", "12")
+        t <- Gen.choose(0L, 30L)
+        v <- Gen.choose(-5, 5).map(_.toDouble)
+      } yield (e, t, v)),
+      Gen.nonEmptyListOf(for {
+        e <- Gen.oneOf("a", "a1", "a12", "1", "12")
+        t <- Gen.choose(0L, 30L)
+      } yield (e, t)),
+      Gen.oneOf(1L, 2L, 3L, 7L)) { (featsRaw, qsRaw, width) =>
+      val feats = featsRaw.groupBy(f => (f._1, f._2))
+        .map { case ((e, t), rows) => (e, t, rows.map(_._3).max) }.toList
+      val qs = qsRaw.distinct
+      val fdf = feats.toDF("doc_id", "ts", "fv")
+      val qdf = qs.toDF("doc_id", "ts")
+      def key(df: org.apache.spark.sql.DataFrame) = df
+        .select($"doc_id", $"ts", $"fv", $"matched_ts").collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (Option(r.get(3)), Option(r.get(2)))).toMap
+      val plain = key(graft.operators.AsOf.join(qdf, fdf, "doc_id", "ts", Seq("fv")))
+      val bucketed = key(graft.operators.AsOf.joinBucketed(
+        qdf, fdf, "doc_id", "ts", Seq("fv"), width))
+      Prop(bucketed == plain) :| s"width=$width plain=$plain bucketed=$bucketed"
+    }
+
   property("continuous-time mean == in-memory weighted fold") =
     forAll(Gen.nonEmptyListOf(for {
       t <- Gen.choose(0L, 50L); v <- Gen.choose(0, 10).map(_.toDouble)
