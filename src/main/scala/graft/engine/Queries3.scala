@@ -53,9 +53,10 @@ object Queries3 {
       .orderBy("event_id")
 
   // --------------------------------------------------------------- q28
-  /** Hyperplane-LSH ANN top-5 (multiprobe). The hyperplanes are
-    * xxhash64-derived and not reproducible in ANSI SQL -> rows-only check
-    * (no oracle entry); recall vs brute force is asserted in ScalaTest. */
+  /** Hyperplane-LSH ANN top-5 (multiprobe). The hyperplane coefficients
+    * come from the exact-int64 quadratic-affine family (Similarity
+    * .planeMatrix), so the FULL pipeline — signatures, multiprobe bucket
+    * join, re-rank — is reproduced verbatim by the DuckDB oracle. */
   def q28AnnTopK(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -158,8 +159,10 @@ object Queries3 {
 
   // --------------------------------------------------------------- q34
   /** IVF-bucketed ANN top-5 (the inverted-file scale path next to q28's
-    * hyperplane LSH). Centroid selection is xxhash64-derived -> rows-only
-    * check (no oracle entry); recall vs brute force asserted in ScalaTest. */
+    * hyperplane LSH). Centroid selection uses the portable id-hash and
+    * cell assignment is a literal-folded map-only argmax, so the DuckDB
+    * oracle reproduces the whole pipeline (centroids, assignment,
+    * probing, re-rank). Recall vs brute force asserted in ScalaTest. */
   def q34IvfTopK(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -216,6 +219,35 @@ object Queries3 {
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(100)
 
+  // --------------------------------------------------------------- q39
+  /** Near-dup pair table via the LSH SCALE path (hyperplane-bucket
+    * equi-join, `Dedup.embeddingDupPairs`) — no O(N²) stage anywhere.
+    * Shared by q39/q40; the portable plane family makes the bucket
+    * assignment reproducible in the DuckDB oracle, so the scale path is
+    * now oracle-pinned, not just recall-asserted (round-1 gap: the
+    * cluster gates q35/q36 fed off the q33 all-pairs baseline). */
+  private def lshPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingDupPairs(
+      t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", dim = 64, nPlanes = 8, threshold = 0.35)
+
+  /** Duplicate clusters over the LSH pair graph: connected components,
+    * min-reachable-id label — the scale-path twin of q35. */
+  def q39LshClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(lshPairs(s, dir), "id_a", "id_b")
+      .select(col("node").as("id"), col("cluster"))
+      .orderBy("id")
+
+  // --------------------------------------------------------------- q40
+  /** Keep-one-per-cluster over the LSH pair graph — the scale-path twin
+    * of q36: every stage (pair gen, clustering, anti join) is bounded by
+    * bucket sizes / the pair-graph size; nothing is O(N²). */
+  def q40LshKeep(s: SparkSession, dir: String): DataFrame =
+    Dedup.dropNearDuplicates(
+      t(s, dir, "embeddings").select(col("vec_id"), col("label")),
+      "vec_id", lshPairs(s, dir))
+      .orderBy("vec_id")
+
   // ------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -232,12 +264,123 @@ object Queries3 {
     "q35_dedup_clusters" -> q35DedupClusters,
     "q36_dedup_keep" -> q36DedupKeep,
     "q37_pack" -> q37Pack,
-    "q38_vocab_topk" -> q38VocabTopK)
+    "q38_vocab_topk" -> q38VocabTopK,
+    "q39_lsh_clusters" -> q39LshClusters,
+    "q40_lsh_keep" -> q40LshKeep)
 
   private val toksSql =
     "list_transform(string_split(text, ' '), w -> length(w))"
 
+  /** DuckDB CTEs reproducing Similarity.planeMatrix (exact-int64
+    * double-mixed quadratic-affine coefficients, dim 64 × 8 planes) and
+    * the per-vector hyperplane sign-bit bucket — verbatim the engine's
+    * LSH blocking. The inner list_transform is mix(x), the outer applies
+    * mix again and rescales to [-1, 1). */
+  private val sigCte =
+    """v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       planes AS (
+         SELECT p, list_transform(
+           list_transform(range(64), j ->
+             ((((p*64+j+1)*(p*64+j+1) % 1000003) * 2654435761
+               + 40503*(p*64+j+1) + 1299721) % 1000003)),
+           t -> (((t*t % 1000003) * 2654435761
+                  + 40503*t + 1299721) % 1000003) / 500001.5 - 1.0) AS w
+         FROM range(8) t(p)),
+       sigb AS (
+         SELECT v.vec_id,
+           CAST(sum(CASE WHEN list_dot_product(v.emb, planes.w) >= 0
+                    THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+         FROM v, planes GROUP BY v.vec_id),
+       sig AS (SELECT v.vec_id, v.emb, sigb.bucket
+               FROM v JOIN sigb USING (vec_id))"""
+
+  /** DuckDB CTE for the unrounded-cosine LSH pair list — verbatim
+    * Dedup.embeddingDupPairs(dim=64, nPlanes=8, threshold=0.35). */
+  private val lshPairsCte =
+    s"""$sigCte,
+       p AS (
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM sig a JOIN sig b
+           ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         WHERE list_dot_product(a.emb, b.emb) /
+           (sqrt(list_dot_product(a.emb, a.emb)) *
+            greatest(sqrt(list_dot_product(b.emb, b.emb)), 1e-12)) >= 0.35),
+       e AS (SELECT id_a AS a, id_b AS b FROM p
+             UNION SELECT id_b, id_a FROM p),
+       reach(node, r) AS (
+         SELECT a, a FROM e
+         UNION
+         SELECT reach.node, e.b FROM reach JOIN e ON reach.r = e.a)"""
+
   val oracle: Map[String, String] = Map(
+    "q28_ann_topk" ->
+      s"""WITH $sigCte,
+         flips AS (
+           SELECT CAST(0 AS BIGINT) AS f
+           UNION ALL SELECT CAST(1 << a.a AS BIGINT) FROM range(8) a(a)
+           UNION ALL SELECT CAST((1 << a.a) | (1 << b.b) AS BIGINT)
+             FROM range(8) a(a), range(8) b(b) WHERE a.a < b.b),
+         cand AS (
+           SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid,
+             round(list_dot_product(q.emb, c.emb) /
+               (sqrt(list_dot_product(q.emb, q.emb)) *
+                greatest(sqrt(list_dot_product(c.emb, c.emb)), 1e-12)),
+               6) AS score
+           FROM sig q, flips, sig c
+           WHERE q.vec_id < 20 AND c.bucket = xor(q.bucket, flips.f)
+             AND q.vec_id <> c.vec_id),
+         rk AS (SELECT qid, cid, score,
+                row_number() OVER (PARTITION BY qid
+                  ORDER BY score DESC, cid) AS rk
+                FROM cand)
+         SELECT qid, rk, cid, score FROM rk WHERE rk <= 5
+         ORDER BY qid, rk""",
+    "q34_ivf_topk" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         cents AS (
+           SELECT vec_id AS centroid_id, emb AS cemb FROM v
+           ORDER BY (vec_id % 1000000007) * 2654435761 % 1000000007, vec_id
+           LIMIT 32),
+         cc AS (
+           SELECT v.vec_id, cents.centroid_id,
+             list_dot_product(v.emb, cents.cemb) /
+               (sqrt(list_dot_product(v.emb, v.emb)) *
+                greatest(sqrt(list_dot_product(cents.cemb, cents.cemb)),
+                  1e-12)) AS cs
+           FROM v, cents),
+         rkc AS (SELECT vec_id, centroid_id,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cs DESC, centroid_id) AS rn
+                 FROM cc),
+         cand AS (
+           SELECT DISTINCT p.vec_id AS qid, a.vec_id AS cid,
+             round(list_dot_product(q.emb, c.emb) /
+               (sqrt(list_dot_product(q.emb, q.emb)) *
+                greatest(sqrt(list_dot_product(c.emb, c.emb)), 1e-12)),
+               6) AS score
+           FROM (SELECT * FROM rkc WHERE rn <= 6 AND vec_id < 20) p
+           JOIN (SELECT * FROM rkc WHERE rn = 1) a
+             ON p.centroid_id = a.centroid_id
+           JOIN v q ON q.vec_id = p.vec_id
+           JOIN v c ON c.vec_id = a.vec_id
+           WHERE p.vec_id <> a.vec_id),
+         rk AS (SELECT qid, cid, score,
+                row_number() OVER (PARTITION BY qid
+                  ORDER BY score DESC, cid) AS rk
+                FROM cand)
+         SELECT qid, rk, cid, score FROM rk WHERE rk <= 5
+         ORDER BY qid, rk""",
+    "q39_lsh_clusters" ->
+      s"""WITH RECURSIVE $lshPairsCte
+         SELECT node AS id, min(r) AS cluster FROM reach
+         GROUP BY 1 ORDER BY 1""",
+    "q40_lsh_keep" ->
+      s"""WITH RECURSIVE $lshPairsCte,
+         losers AS (
+           SELECT node FROM reach GROUP BY node HAVING node <> min(r))
+         SELECT vec_id, label FROM embeddings
+         WHERE vec_id NOT IN (SELECT node FROM losers)
+         ORDER BY vec_id""",
     "q38_vocab_topk" ->
       s"""SELECT token, count(*) AS cnt
          FROM (SELECT unnest($toksSql) AS token FROM documents)

@@ -34,29 +34,37 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * greatest(norm(b), lit(1e-12)))
 
-  /** Deterministic pseudo-random hyperplane component j of plane p:
-    * uniform in [-1, 1) derived from xxhash64 — same family as the data
-    * generator, reproducible at any parallelism. The coefficients are
-    * row-invariant, so they're folded ONCE at plan-build time by
-    * evaluating the same Catalyst expressions driver-side (identical
-    * values to the previous per-row evaluation). */
-  private def planeCoeff(p: Int, j: Int): Column =
-    (pmod(xxhash64(lit("plane"), lit(p), lit(j)), lit(2000000L))
-      .cast("double") / 1000000.0) - 1.0
+  /** Deterministic pseudo-random hyperplane coefficients, uniform in
+    * [-1, 1), from an integer quadratic-affine hash — EXACT int64
+    * arithmetic followed by two exact-operand IEEE ops, so any engine
+    * (the DuckDB oracle included) reproduces every coefficient
+    * bit-for-bit:
+    *
+    *   x = p·dim + j + 1,  M = 1000003 (prime)
+    *   mix(t) = ((t² mod M)·2654435761 + 40503·t + 1299721) mod M
+    *   coeff(p, j) = mix(mix(x)) / (M/2) − 1
+    *
+    * Two mix rounds: one round leaves sequential correlation across j
+    * (measured: ANN recall drops from ~0.5 to 0.36 on the spec fixture).
+    * All intermediates stay < 2⁶³ (t < M ⇒ (t² mod M)·2654435761 <
+    * 2.7·10¹⁵); mix(mix(x)) and M/2 = 500001.5 are exactly representable
+    * doubles, so the division result is the same IEEE value everywhere.
+    * This replaces the round-1 xxhash64 family, which DuckDB could not
+    * evaluate — it forced rows-only checks on the ANN gate queries. */
+  private val M = 1000003L
+  private def mix(t: Long): Long =
+    ((t * t % M) * 2654435761L + 40503L * t + 1299721L) % M
 
   private val planeCache =
     scala.collection.concurrent.TrieMap.empty[(Int, Int), Seq[Seq[Double]]]
 
   def planeMatrix(dim: Int, nPlanes: Int): Seq[Seq[Double]] =
-    planeCache.getOrElseUpdate((dim, nPlanes), {
-      // one single-row driver-side select folds all coefficients through
-      // the normal analyzer (constant expressions; no data read)
-      val spark = org.apache.spark.sql.SparkSession.active
-      val cols = for (p <- 0 until nPlanes; j <- 0 until dim)
-        yield planeCoeff(p, j)
-      val row = spark.range(1).select(cols: _*).head()
-      Seq.tabulate(nPlanes, dim)((p, j) => row.getDouble(p * dim + j))
-    })
+    planeCache.getOrElseUpdate((dim, nPlanes),
+      Seq.tabulate(nPlanes, dim) { (p, j) =>
+        val x = p.toLong * dim + j + 1
+        require(x < M, s"plane index $x overflows the exact-int64 family")
+        mix(mix(x)) / (M / 2.0) - 1.0
+      })
 
   /** Sign-bit signature across nPlanes hyperplanes -> long bucket id
     * (native expression; one primitive loop per row in codegen). */
@@ -119,42 +127,79 @@ object Similarity {
       .select(col("qid"), col("rk"), col("cid"), round(col("score"), 6).as("score"))
   }
 
+  /** Portable centroid-sampling hash: ((cid mod M')·2654435761) mod M',
+    * M' = 1e9+7 — exact int64 (operand < M'·2654435761 < 2⁶³) and
+    * reproducible in the DuckDB oracle (the round-1 xxhash64 selection was
+    * not). Requires a numeric id. */
+  private val Mc = 1000000007L
+  def centroidHash(cid: Column): Column =
+    pmod(pmod(cid.cast("long"), lit(Mc)) * 2654435761L, lit(Mc))
+
   /** IVF (inverted-file) ANN top-k — the other classic scale path next to
     * hyperplane LSH. Centroids are a deterministic corpus sample (lowest
-    * xxhash64(cid): reproducible at any parallelism, no iterative k-means
-    * job); every corpus vector is assigned to its nearest centroid in ONE
-    * broadcast map stage (the inverted lists); each query probes its
-    * `nProbe` nearest centroids and re-ranks exactly inside those lists.
-    * At 10^12 rows: the centroid table stays driver-small (√N-ish), the
-    * assignment is map-only, and the candidate join is an equi-join on
-    * centroid_id — candidates ≈ nProbe/nCentroids of the corpus instead
-    * of a cross join. Recall < 1 by construction (cell-boundary misses). */
+    * portable hash of the numeric id — reproducible at any parallelism AND
+    * in the SQL oracle; no iterative k-means job). The centroid table is
+    * collected once driver-side (nCentroids ≲ 64k ⇒ ≤ ~32 MB at dim 64)
+    * and folded into the plan as LITERALS, so corpus→cell assignment is a
+    * pure per-row argmax projection: nCentroids codegen'd VecDot's against
+    * constant arrays, NO exchange, NO window — at 10^12 rows nothing but
+    * the final candidate equi-join on centroid_id shuffles. (Round 1
+    * assigned via crossJoin+row_number, which shuffled |corpus|×nCentroids
+    * scored rows; the plan now matches the "map-only" claim.) Each query
+    * probes its `nProbe` nearest centroids; candidates ≈ nProbe/nCentroids
+    * of the corpus. Recall < 1 by construction (cell-boundary misses). */
   def ivfTopK(
       queries: DataFrame, // (qid, qv)
       corpus: DataFrame,  // (cid, cv)
       k: Int,
       nCentroids: Int = 64,
       nProbe: Int = 4): DataFrame = {
-    val cents = corpus
-      .withColumn("__h", xxhash64(col("cid")))
-      .orderBy(col("__h"), col("cid")).limit(nCentroids)
-      .select(col("cid").as("centroid_id"), col("cv").as("centv"))
-      .withColumn("__centn", norm(col("centv")))
-    def nearest(df: DataFrame, vCol: String, idCol: String, take: Int) = {
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("__cs").desc, col("centroid_id").asc)
-      df.withColumn("__vn", norm(col(vCol)))
-        .crossJoin(broadcast(cents))
-        .withColumn("__cs",
-          cosinePre(col(vCol), col("centv"), col("__vn"), col("__centn")))
-        .withColumn("__rk", row_number().over(w))
-        .where(col("__rk") <= take)
-        .drop("centv", "__centn", "__cs", "__rk", "__vn")
+    // deterministic sample; final sort by centroid id => literal order is
+    // the tie-break order (argmax picks the FIRST max = lowest id)
+    val centRows = corpus
+      .select(col("cid").cast("long").as("centroid_id"), col("cv"))
+      .withColumn("__h", centroidHash(col("centroid_id")))
+      .orderBy(col("__h"), col("centroid_id")).limit(nCentroids)
+      .drop("__h").orderBy(col("centroid_id"))
+      .collect() // bounded by nCentroids — the one driver action, by design
+    val centIds: Array[Long] = centRows.map(_.getLong(0))
+    val centVecs: Array[Array[Double]] = centRows.map(
+      _.getSeq[Double](1).toArray)
+    // norms via the same left-to-right fold as norm(col) = sqrt(VecDot):
+    // identical IEEE values to the round-1 per-row computation
+    val centNorms: Array[Double] = centVecs.map { v =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.max(math.sqrt(s), 1e-12)
     }
-    val lists = nearest(corpus, "cv", "cid", 1) // inverted lists
+    def centScores(vCol: Column, vnCol: Column): Seq[Column] =
+      centVecs.zip(centNorms).map { case (cv, cn) =>
+        dot(vCol, lit(cv)) / (vnCol * cn) }
+
+    // corpus → cell: argmax over the score array; array_position returns
+    // the FIRST index holding the max, i.e. the lowest centroid id on ties
+    val lists = corpus
       .withColumn("__cn", norm(col("cv")))
-    val probed = nearest(queries, "qv", "qid", nProbe)
+      .withColumn("__s", array(centScores(col("cv"), col("__cn")): _*))
+      .withColumn("centroid_id",
+        element_at(lit(centIds), array_position(col("__s"), array_max(col("__s"))).cast("int")))
+      .drop("__s")
+
+    // queries → nProbe cells: sort (score desc, id asc) structs and slice.
+    // Comparator HOFs are interpreted, but this runs once per QUERY row
+    // over nCentroids elements — the probe side is the small side.
+    val qStructs = array(centIds.zip(centScores(col("qv"), col("__qn"))).map {
+      case (id, s) => struct(s.as("s"), lit(id).as("centroid_id")) }: _*)
+    val probed = queries
       .withColumn("__qn", norm(col("qv")))
+      .withColumn("__cand", slice(array_sort(qStructs,
+        (a, b) => when(a("s") > b("s"), -1).when(a("s") < b("s"), 1)
+          .when(a("centroid_id") < b("centroid_id"), -1)
+          .when(a("centroid_id") > b("centroid_id"), 1).otherwise(0)),
+        1, nProbe))
+      .withColumn("centroid_id", explode(col("__cand")("centroid_id")))
+      .drop("__cand")
+
     val scored = probed.join(lists, Seq("centroid_id"))
       .where(col("qid") =!= col("cid"))
       .withColumn("score",
