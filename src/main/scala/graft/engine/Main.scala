@@ -97,7 +97,14 @@ object Main {
   def loadSpecs(c: Config): Seq[graft.model.TransformSpec] = {
     val fromFiles = c.transformFiles.flatMap { f =>
       val text = Files.readString(Paths.get(f))
-      if (f.endsWith(".xml")) Seq(TransformSpecs.parseXml(text))
+      // reference order: try RDF first, then XML
+      // (runner/FeatureExtractionManager.cpp:482-605); we dispatch on
+      // extension first, then content sniffing for extensionless files
+      if (f.endsWith(".n3") || f.endsWith(".ttl")) TransformSpecs.parseN3(text)
+      else if (f.endsWith(".xml")) Seq(TransformSpecs.parseXml(text))
+      else if (f.endsWith(".json")) TransformSpecs.parseJson(text)
+      else if (text.stripLeading.startsWith("@prefix")) TransformSpecs.parseN3(text)
+      else if (text.stripLeading.startsWith("<")) Seq(TransformSpecs.parseXml(text))
       else TransformSpecs.parseJson(text)
     }
     val fromDefault = c.defaultTransform.map { d =>

@@ -69,12 +69,16 @@ object Queries3 {
   // --------------------------------------------------------------- q29
   /** Positional full-outer alignment (the multiplex zip-join J1 in
     * relational form): purchases vs errors by per-type row position,
-    * missing positions contribute 0. */
+    * missing positions contribute 0. Positions come from
+    * Windows.globalRowNumber (range-partitioned prefix sum) — round 1
+    * used a global row_number window, which moves the whole stream to a
+    * single task (the bench log's "No Partition Defined" warning). */
   def q29AlignByPos(s: SparkSession, dir: String): DataFrame = {
     val e = ev(s, dir)
-    def seq(tpe: String) = e.where(col("event_type") === tpe)
-      .select(col("event_id"), col("value"))
-      .withColumn("pos", row_number().over(Window.orderBy(col("event_id"))))
+    def seq(tpe: String) = Windows.globalRowNumber(
+      e.where(col("event_type") === tpe)
+        .select(col("event_id"), col("value")),
+      "event_id")
       .select("pos", "value")
     Multiplex.alignByPosition(seq("purchase"), seq("error"),
       "purchase_v", "error_v")

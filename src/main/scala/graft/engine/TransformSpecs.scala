@@ -100,6 +100,197 @@ object TransformSpecs {
     }
   }
 
+  /** RDF/Turtle (.n3) transform form — the reference's PRIMARY transform
+    * format (every .n3 fixture under tests/test-X/transforms/; compilation
+    * tries RDF first, runner/FeatureExtractionManager.cpp:482-605). This
+    * is a deliberate SUBSET of Turtle covering the vamp transform
+    * vocabulary the fixtures use: @prefix declarations, `subject a Type;
+    * pred obj; …`, quoted literals with optional ^^type, bare numeric
+    * literals (percussiononsets-multiple-outputs… uses `vamp:step_size
+    * 2048`), inline bnodes `[ vamp:identifier "x" ]`, and named
+    * ParameterBinding subjects (percussiononsets-start-and-duration.n3).
+    *
+    * Vamp URI mapping: `examples:percussiononsets` resolves through
+    * [[n3PluginAliases]] to the registry analog (graft:energy has the
+    * same outputs + parameters as the reference's percussiononsets);
+    * outputs strip the `<plugin>_output_` URI convention; parameters
+    * named via URI strip `…_param_`. */
+  def parseN3(text: String): Seq[TransformSpec] = {
+    val stmts = n3Statements(n3StripComments(text))
+    val prefixes = scala.collection.mutable.Map.empty[String, String]
+    // (subject, pred, rawObject) triples; bnode objects kept verbatim
+    val triples = scala.collection.mutable.ListBuffer.empty[(String, String, String)]
+    stmts.foreach { st =>
+      if (st.startsWith("@prefix")) {
+        val m = "@prefix\\s+([A-Za-z0-9_-]*):\\s*<([^>]*)>".r.findFirstMatchIn(st)
+          .getOrElse(throw new IllegalArgumentException(s"bad @prefix: $st"))
+        prefixes(m.group(1)) = m.group(2)
+      } else {
+        val (subj, rest) = st.span(!_.isWhitespace)
+        n3TopSplit(rest, ';').map(_.trim).filter(_.nonEmpty).foreach { clause =>
+          val (pred, objRaw) = clause.span(!_.isWhitespace)
+          val obj = objRaw.trim
+          if (obj.nonEmpty) triples += ((subj, pred, obj))
+        }
+      }
+    }
+    def objsOf(subj: String, pred: String): Seq[String] =
+      triples.collect { case (s, p, o) if s == subj && p == pred => o }.toSeq
+    def litOf(subj: String, pred: String): Option[String] =
+      objsOf(subj, pred).headOption.map(n3Literal)
+    def localName(tok: String): String = {
+      val t = tok.stripPrefix("<").stripSuffix(">")
+      t.substring(math.max(math.max(t.lastIndexOf('#'), t.lastIndexOf('/')),
+        t.lastIndexOf(':')) + 1)
+    }
+    // a parameter object is an inline bnode `[ vamp:identifier "x" ]` or a
+    // URI ending …_param_<identifier>
+    def paramIdentifier(obj: String): String =
+      if (obj.startsWith("[")) {
+        "vamp:identifier\\s+\"([^\"]*)\"".r.findFirstMatchIn(obj)
+          .map(_.group(1)).getOrElse(
+            throw new IllegalArgumentException(s"bnode without identifier: $obj"))
+      } else {
+        val l = localName(obj)
+        val i = l.indexOf("_param_")
+        if (i >= 0) l.substring(i + "_param_".length) else l
+      }
+    def bindingParams(subj: String): Map[String, Double] =
+      objsOf(subj, "vamp:parameter_binding").map { bObj =>
+        if (bObj.startsWith("[")) { // inline binding bnode
+          val inner = bObj.stripPrefix("[").stripSuffix("]")
+          val id = "vamp:parameter\\s+(\\[[^\\]]*\\]|\\S+)".r
+            .findFirstMatchIn(inner).map(m => paramIdentifier(m.group(1)))
+            .getOrElse(throw new IllegalArgumentException(s"binding without parameter: $bObj"))
+          val v = "vamp:value\\s+\"?([-0-9.eE+]+)\"?".r.findFirstMatchIn(inner)
+            .map(_.group(1).toDouble)
+            .getOrElse(throw new IllegalArgumentException(s"binding without value: $bObj"))
+          id -> v
+        } else { // named ParameterBinding subject
+          val id = objsOf(bObj, "vamp:parameter").headOption.map(paramIdentifier)
+            .getOrElse(throw new IllegalArgumentException(s"no vamp:parameter on $bObj"))
+          val v = litOf(bObj, "vamp:value")
+            .getOrElse(throw new IllegalArgumentException(s"no vamp:value on $bObj"))
+            .toDouble
+          id -> v
+        }
+      }.toMap
+    val transformSubjects = triples.collect {
+      case (s, "a", t) if localName(t) == "Transform" => s }
+      .distinct.sorted.toSeq
+    require(transformSubjects.nonEmpty, "no vamp:Transform subject in .n3 file")
+    transformSubjects.map { subj =>
+      val pluginTok = objsOf(subj, "vamp:plugin").headOption.getOrElse(
+        throw new IllegalArgumentException(s"$subj has no vamp:plugin"))
+      val pluginPrefix = pluginTok.takeWhile(_ != ':')
+      val pluginLocal =
+        if (prefixes.contains(pluginPrefix) || pluginTok.startsWith("<"))
+          localName(pluginTok)
+        else pluginTok // undeclared prefix: a verbatim registry name
+      val plugin = n3PluginAliases.getOrElse(pluginLocal, pluginLocal)
+      val output = objsOf(subj, "vamp:output").headOption.map { o =>
+        val l = localName(o)
+        val i = l.indexOf("_output_")
+        if (i >= 0) l.substring(i + "_output_".length) else l
+      }.getOrElse("")
+      TransformSpec(
+        id = subj.stripPrefix(":"),
+        plugin = plugin,
+        output = output,
+        stepSize = litOf(subj, "vamp:step_size").map(_.toDouble.toInt).getOrElse(0),
+        blockSize = litOf(subj, "vamp:block_size").map(_.toDouble.toInt).getOrElse(0),
+        windowType = WindowShape.fromName(
+          litOf(subj, "vamp:window_type").getOrElse("hanning")),
+        sampleRate = litOf(subj, "vamp:sample_rate").map(_.toDouble).getOrElse(0.0),
+        start = litOf(subj, "vamp:start").map(parseTime).getOrElse(0L),
+        duration = litOf(subj, "vamp:duration").map(parseTime).getOrElse(0L),
+        parameters = bindingParams(subj),
+        program = litOf(subj, "vamp:program").getOrElse(""),
+        summaryType = litOf(subj, "vamp:summary_type")
+          .filter(_.nonEmpty).map(SummaryType.fromName))
+    }
+  }
+
+  /** Vamp example-plugin URIs -> registry analogs (same outputs/params). */
+  val n3PluginAliases: Map[String, String] = Map(
+    "percussiononsets" -> "graft:energy")
+
+  /** Drop `# comment` outside quotes and <URIs> (`@prefix : <#>.` keeps
+    * its hash). */
+  private def n3StripComments(text: String): String = {
+    val sb = new StringBuilder
+    var inQuote = false; var inAngle = false; var skip = false
+    text.foreach { c =>
+      if (skip) { if (c == '\n') { skip = false; sb += c } }
+      else c match {
+        case '"' => inQuote = !inQuote; sb += c
+        case '<' if !inQuote => inAngle = true; sb += c
+        case '>' if !inQuote => inAngle = false; sb += c
+        case '#' if !inQuote && !inAngle => skip = true
+        case _ => sb += c
+      }
+    }
+    sb.toString
+  }
+
+  /** Split on top-level statement terminators: `.` outside quotes,
+    * brackets and <URIs>, followed by whitespace/EOF (so `22050.5` and
+    * URI dots survive). */
+  private def n3Statements(text: String): Seq[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQuote = false; var inAngle = false; var depth = 0
+    var i = 0
+    while (i < text.length) {
+      val c = text(i)
+      c match {
+        case '"' => inQuote = !inQuote; cur += c
+        case '<' if !inQuote => inAngle = true; cur += c
+        case '>' if !inQuote => inAngle = false; cur += c
+        case '[' if !inQuote && !inAngle => depth += 1; cur += c
+        case ']' if !inQuote && !inAngle => depth -= 1; cur += c
+        case '.' if !inQuote && !inAngle && depth == 0 &&
+            (i + 1 >= text.length || text(i + 1).isWhitespace) =>
+          val s = cur.toString.trim
+          if (s.nonEmpty) out += s
+          cur.clear()
+        case _ => cur += c
+      }
+      i += 1
+    }
+    val last = cur.toString.trim
+    if (last.nonEmpty) out += last
+    out.toSeq
+  }
+
+  /** Split `s` on top-level occurrences of `sep`. */
+  private def n3TopSplit(s: String, sep: Char): Seq[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQuote = false; var inAngle = false; var depth = 0
+    s.foreach {
+      case c@'"' => inQuote = !inQuote; cur += c
+      case c@'<' if !inQuote => inAngle = true; cur += c
+      case c@'>' if !inQuote => inAngle = false; cur += c
+      case c@'[' if !inQuote && !inAngle => depth += 1; cur += c
+      case c@']' if !inQuote && !inAngle => depth -= 1; cur += c
+      case c if c == sep && !inQuote && !inAngle && depth == 0 =>
+        out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    out += cur.toString
+    out.toSeq
+  }
+
+  /** Literal value of a Turtle object token: strip quotes and ^^type;
+    * bare tokens (unquoted numerics) pass through. */
+  private def n3Literal(obj: String): String = {
+    val base = obj.split("\\^\\^")(0).trim
+    if (base.startsWith("\"") && base.length >= 2)
+      base.substring(1, base.lastIndexOf('"'))
+    else base
+  }
+
   /** Segment-boundary list, reproducing the reference's deliberately sloppy
     * parser (runner/main.cpp:551-603; fixture tests/test-summaries/
     * transforms/segmentlist:1-5): one time per line; '#' comments and blank

@@ -169,65 +169,82 @@ object Dedup {
       aCol: String,
       bCol: String,
       maxIter: Int = 20): DataFrame = {
-    // localCheckpoint (not cache) between rounds: each iteration's plan
-    // embeds TWO copies of the previous one (join + union), so without
-    // lineage truncation the logical plan doubles per round and the
-    // optimizer OOMs by ~iteration 15. On a cluster this is a reliable
-    // checkpoint per round — also what makes the loop resumable.
+    // Checkpointing.materialize (not cache) between rounds: each
+    // iteration's plan embeds TWO copies of the previous one (join +
+    // union), so without lineage truncation the logical plan doubles per
+    // round and the optimizer OOMs by ~iteration 15. Local mode uses
+    // localCheckpoint; set spark.graft.checkpointDir for the RELIABLE
+    // (executor-loss-surviving, resumable) variant on a cluster.
     // cache the pair table FIRST: the symmetric-closure union below
     // references it twice, and without this the (possibly expensive)
     // pair-producing join would be evaluated twice; released as soon as
     // the edges checkpoint is materialized
     val p = pairs.select(col(aCol).as("a"), col(bCol).as("b")).cache()
-    var edges = p
-      .union(p.select(col("b").as("a"), col("a").as("b")))
-      .distinct()
-      .localCheckpoint(true)
+    var edges = Checkpointing.materialize(
+      p.union(p.select(col("b").as("a"), col("a").as("b"))).distinct())
     p.unpersist()
     // size the iteration shuffles from the MEASURED edge count, not the
     // session default — a 10^4-edge graph should not pay 32-task fixed
     // costs per round, and a 10^12-edge graph needs more than 32
     val nEdges = edges.count()
     val spark = pairs.sparkSession
-    if (nEdges == 0) // no pairs -> no clustered nodes (sum probe would NPE)
+    if (nEdges == 0) // no pairs -> no clustered nodes
       return edges.select(col("a").as("node"), col("a").as("cluster"))
     val defaultParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val parts = math.max(1L, math.min(defaultParts.toLong, nEdges / 100000L + 1)).toInt
-    edges = edges.repartition(parts, col("a")).localCheckpoint(true)
-    var labels = edges.select(col("a").as("node")).distinct()
-      .withColumn("cluster", col("node"))
-      .localCheckpoint(true)
-    // convergence via the label-sum invariant: labels are minima over a
-    // monotonically growing reachable set, so per-node labels only ever
-    // DECREASE — the total is strictly decreasing until fixpoint, and an
-    // unchanged sum proves convergence without a compare join
+    edges = Checkpointing.materialize(edges.repartition(parts, col("a")))
+    var labels = Checkpointing.materialize(
+      edges.select(col("a").as("node")).distinct()
+        .withColumn("cluster", col("node")))
+    // Convergence probes. Numeric ids use the label-sum invariant: labels
+    // are minima over a monotonically growing reachable set, so per-node
+    // labels only ever DECREASE — the total strictly decreases until
+    // fixpoint, and an unchanged sum proves convergence without a compare
+    // join. Non-numeric ids (strings order lexicographically but don't
+    // sum) fall back to a changed-row count between consecutive rounds —
+    // one extra equi-join per round on the (small) label table.
+    val numericIds = labels.schema("cluster").dataType match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case _ => false
+    }
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster").cast("decimal(38,0)"))).head()
-        .getDecimal(0)
-    var prevSum = labelSum(labels)
+      df.agg(sum(col("cluster").cast("decimal(38,0)"))).head().getDecimal(0)
+    def changedCount(prev: DataFrame, next: DataFrame): Long =
+      next.join(prev.withColumnRenamed("cluster", "__prev"), Seq("node"))
+        .where(col("cluster") =!= col("__prev")).count()
+    var prevSum = if (numericIds) labelSum(labels) else null
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val neigh = edges
+      val neigh = Checkpointing.materialize(edges
         .join(labels.withColumnRenamed("node", "a"), "a")
         .select(col("b").as("node"), col("cluster"))
         .union(labels)
-        .groupBy("node").agg(min("cluster").as("cluster"))
-        .localCheckpoint(true) // materialized once; the self-join below reuses it
+        .groupBy("node").agg(min("cluster").as("cluster")))
       // pointer jumping: follow each node's label to THAT node's label
       // (labels are always existing node ids) — path compression turns
       // O(diameter) rounds into O(log diameter)
-      val prop = neigh
+      val prop = Checkpointing.materialize(neigh
         .join(neigh.select(col("node").as("cluster"),
           col("cluster").as("jumped")), Seq("cluster"))
-        .select(col("node"), col("jumped").as("cluster"))
-        .localCheckpoint(true)
-      val s = labelSum(prop)
+        .select(col("node"), col("jumped").as("cluster")))
+      if (numericIds) {
+        val s = labelSum(prop)
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
+      } else {
+        converged = changedCount(labels, prop) == 0
+      }
       labels = prop
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
       i += 1
     }
+    // Silent non-convergence would under-merge clusters and feed WRONG
+    // groups to dropNearDuplicates; with pointer jumping 20 rounds cover
+    // component diameters ~2^20, so hitting the cap means something is
+    // genuinely pathological — fail loudly.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds; " +
+        "raise maxIter (labels are still an under-merged over-segmentation)")
     labels
   }
 

@@ -18,7 +18,7 @@ import org.apache.spark.sql.types.LongType
   *      the per-partition running sum in ONE imperative pass
   *      (mapPartitions — the genuine per-partition-state case; a window
   *      would add a second full-corpus hash exchange on the partition
-  *      id), then MATERIALIZE (localCheckpoint). Materializing is
+  *      id), then MATERIALIZE (Checkpointing.materialize). Materializing is
   *      load-bearing for correctness, not just speed: repartitionByRange
   *      re-samples split points per job, so without it the offsets job
   *      and the output job could disagree on partition boundaries and
@@ -47,7 +47,11 @@ object Packing {
     val outSchema = ranged.schema.add("__lsum", LongType, nullable = false)
     val lenIdx = ranged.schema.fieldIndex(lenCol)
     // one imperative pass per partition: running sum in stream order
-    val local = ranged.mapPartitions { it =>
+    // pin partition boundaries for BOTH jobs below; reliable checkpoint
+    // when spark.graft.checkpointDir is set (the boundary pinning is
+    // load-bearing for CORRECTNESS, so on a preemptible cluster it must
+    // survive executor loss — see Checkpointing)
+    val local = Checkpointing.materialize(ranged.mapPartitions { it =>
       var acc = 0L
       it.map { r =>
         val len = r.get(lenIdx).asInstanceOf[Number].longValue()
@@ -55,8 +59,7 @@ object Packing {
         acc += len
         Row.fromSeq(r.toSeq :+ acc)
       }
-    }(Encoders.row(outSchema))
-      .localCheckpoint(true) // pin partition boundaries for BOTH jobs below
+    }(Encoders.row(outSchema)))
 
     // one row per partition -> driver prefix sum -> broadcast offsets
     val partTotals = local.groupBy(col("__pid"))

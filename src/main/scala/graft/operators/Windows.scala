@@ -91,6 +91,20 @@ object Windows {
     df.withColumn("seg_start", segExpr)
   }
 
+  /** Contiguous 1-based global row number by `orderCol` (a UNIQUE total
+    * order) WITHOUT the single-partition global window
+    * (`row_number().over(Window.orderBy(...))` moves the whole table to
+    * one task). Reuses the packing prefix sum: range-partition on the
+    * order key, per-partition running count, one driver row per
+    * partition, broadcast offsets — one range exchange total, every
+    * partition does O(its rows) work. */
+  def globalRowNumber(df: DataFrame, orderCol: String,
+      outCol: String = "pos"): DataFrame =
+    Packing.packGreedy(df.withColumn("__one", lit(1L)),
+        orderCol, "__one", Long.MaxValue)
+      .withColumn(outCol, col("pack_start") + 1L)
+      .drop("pack_start", "pack_bin", "__one")
+
   /** Per-session aggregation convenience: sessionize then aggregate. */
   def sessionStats(df: DataFrame, entityCol: String, tsCol: String,
       gap: Long, valueCol: String): DataFrame = {

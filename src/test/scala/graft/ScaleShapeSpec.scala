@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.{Checkpointing, Dedup, Similarity, Windows}
+
+/** Round-2 scale-shape guarantees: the IVF assignment stays map-only,
+  * global row numbering avoids the single-partition window, connected
+  * components handles string ids and the reliable-checkpoint config. */
+class ScaleShapeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("IVF plan: cell assignment is map-only (single Window in whole plan)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    val out = Similarity.ivfTopK(
+      e.where($"vec_id" < 5).select($"vec_id".as("qid"), $"v".as("qv")),
+      e.select($"vec_id".as("cid"), $"v".as("cv")),
+      k = 3, nCentroids = 8, nProbe = 2)
+    val p = out.queryExecution.executedPlan.toString
+    // round 1 assigned cells via crossJoin+row_number: two extra Window
+    // ops (and their hash exchanges) over |corpus| x nCentroids rows.
+    // Now the only Window exec is the final per-query top-k re-rank
+    // ("Window [" = WindowExec's toString; WindowGroupLimit is the
+    // planner's top-k pushdown of that same window, not a second one).
+    val windows = "Window \\[".r.findAllIn(p).length
+    assert(windows == 1, s"expected exactly 1 Window (final top-k), got $windows:\n$p")
+    assert(out.count() > 0)
+  }
+
+  test("globalRowNumber == row_number over the global order, no global window") {
+    val df = spark.range(1000).toDF("id")
+      .withColumn("key", concat(lit("k"), lpad($"id".cast("string"), 5, "0")))
+      .withColumn("v", $"id" * 3)
+    val got = Windows.globalRowNumber(df, "key")
+      .select($"key", $"pos").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = df.withColumn("pos",
+        row_number().over(Window.orderBy("key")).cast("long"))
+      .select($"key", $"pos").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("connectedComponents supports string node ids (lexicographic min label)") {
+    // chain a—a1—a12 plus isolated pair z1—z2; prefix-extension ids on
+    // purpose (the round-1 packed-key failure shape)
+    val pairs = Seq(("a1", "a"), ("a1", "a12"), ("z2", "z1"))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "a", "a1" -> "a", "a12" -> "a",
+      "z1" -> "z1", "z2" -> "z1"))
+  }
+
+  test("reliable checkpoint path (spark.graft.checkpointDir) yields same clusters") {
+    val dir = java.nio.file.Files.createTempDirectory("graftchk").toString
+    spark.conf.set(Checkpointing.ConfKey, dir)
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+      val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+      // the reliable checkpoint actually wrote RDD blocks to the dir
+      val wrote = new java.io.File(dir).listFiles()
+      assert(wrote != null && wrote.nonEmpty, s"nothing checkpointed under $dir")
+    } finally spark.conf.unset(Checkpointing.ConfKey)
+  }
+
+  test("packGreedy matches under the reliable checkpoint path too") {
+    val dir = java.nio.file.Files.createTempDirectory("graftchk2").toString
+    val df = spark.range(500).toDF("id")
+      .withColumn("doc_id", concat(lit("d"), lpad($"id".cast("string"), 4, "0")))
+      .withColumn("n_tok", pmod($"id" * 37 + 11, lit(900)) + 1)
+      .select("doc_id", "n_tok")
+    val base = graft.operators.Packing.packGreedy(df, "doc_id", "n_tok", 2048)
+      .select($"doc_id", $"pack_start").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    spark.conf.set(Checkpointing.ConfKey, dir)
+    try {
+      val rel = graft.operators.Packing.packGreedy(df, "doc_id", "n_tok", 2048)
+        .select($"doc_id", $"pack_start").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rel == base)
+    } finally spark.conf.unset(Checkpointing.ConfKey)
+  }
+}
