@@ -28,7 +28,8 @@ import graft.summaries.{Summaries, VectorSummaries}
 object Engine {
 
   val registry: Map[String, FeatureExtractor] =
-    Seq(HistogramExtractor, EnergyExtractor, RegionsExtractor, ClicksExtractor)
+    Seq(HistogramExtractor, EnergyExtractor, RegionsExtractor, ClicksExtractor,
+      ChangepointsExtractor)
       .map(e => e.name -> e).toMap
 
   /** Enumerate available extractors (the reference's --list,

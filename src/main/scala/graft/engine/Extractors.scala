@@ -185,3 +185,36 @@ object ClicksExtractor extends FeatureExtractor {
         lit("click").as("label"))
   }
 }
+
+/** Sparse token change-point curve on a FIXED output sample rate
+  * (OutputShape.CurveFSR): one feature wherever the token value changes,
+  * its explicit source timestamp SNAPPED to the output grid via
+  * Framing.snapToGrid — the reference's FixedSampleRate timing rule
+  * ("0.3 at 0.333 snap to 0.4", tests/test-vamp-test-plugin/expected/
+  * vamp-test-plugin-curve-fsr-timed.csv:1-10), exercised end-to-end
+  * rather than only at the unit level (round-1 gap W4). Map-only:
+  * array-local change detection, no shuffle. */
+object ChangepointsExtractor extends FeatureExtractor {
+  val name = "graft:changepoints"
+  override def defaultParams: Map[String, Double] = Map("out_rate" -> 2.5)
+  def outputs: Seq[OutputDescriptor] = Seq(
+    OutputDescriptor("changecurve", "Token change-points on the fixed grid",
+      OutputShape.CurveFSR, 1, sampleRate = 2.5))
+
+  def extract(seqs: DataFrame, spec: TransformSpec): DataFrame = {
+    val (_, _, rate) = resolve(spec)
+    val outRate = spec.parameters.getOrElse("out_rate", 2.5)
+    seqs
+      .where(col("n_tok") > 0)
+      .select(col("doc_id"), col("tokens"),
+        explode(filter(sequence(lit(0), col("n_tok") - 1), i =>
+          (i === 0) ||
+            element_at(col("tokens"), i + 1) =!= element_at(col("tokens"), i)))
+          .as("i"))
+      .select(col("doc_id"), lit("changecurve").as("output"),
+        graft.frames.Framing.snapToGrid(posToNs(col("i"), rate), outRate).as("ts"),
+        lit(null).cast("long").as("duration"),
+        array(element_at(col("tokens"), col("i") + 1).cast("float")).as("values"),
+        lit("").as("label"))
+  }
+}

@@ -198,6 +198,11 @@ object Main {
           }
           ()
         } else features.write.mode(if (c.csv.force) "overwrite" else "errorifexists")
+          // K5 layout analog: the reference AudioDB writer emits one file
+          // per (track, output) (runner/AudioDBFeatureWriter.cpp:107-218);
+          // hive-partitioning by (transform, output) gives one DIRECTORY
+          // per output stream — and partition pruning on read
+          .partitionBy("transform_id", "output")
           .parquet(c.output)
       case "csv" =>
         val lines = CsvSink.formatFeatures(
@@ -206,6 +211,9 @@ object Main {
         else { CsvSink.writePerTrack(lines, c.output, c.csv); () }
       case "jams" => JsonSink.writeJsonl(
         features.withColumn("doc_id", col("doc_id").cast("string")), c.output)
+      case "rdf" => graft.sinks.RdfSink.writeTurtle(
+        features.withColumn("doc_id", col("doc_id").cast("string")),
+        specs, c.output, c.csv)
       case "xml" =>
         graft.sinks.XmlSink.toXmlRows(features).select("xml")
           .coalesce(1).write.mode("overwrite").text(c.output)

@@ -252,6 +252,26 @@ object Queries3 {
       "vec_id", lshPairs(s, dir))
       .orderBy("vec_id")
 
+  // --------------------------------------------------------------- q41
+  /** Curve-fsr end-to-end: the changepoints extractor emits sparse
+    * explicit-timestamp features SNAPPED to the 2.5 Hz output grid
+    * (Framing.snapToGrid; the reference's FixedSampleRate rule, golden
+    * vamp-test-plugin-curve-fsr-timed.csv "0.333 snap to 0.4"). Oracle
+    * recomputes change positions and the round(ts·rate)/rate snap in
+    * DuckDB. Duplicate grid timestamps are KEPT, like the reference. */
+  def q41CurveFsr(s: SparkSession, dir: String): DataFrame = {
+    val specs = TransformSpecs.parseJson(
+      """[{"id": "cp", "plugin": "graft:changepoints",
+         |  "output": "changecurve"}]""".stripMargin)
+    val seqs = docsTok(s, dir).select(
+      col("doc_id").cast("string").as("doc_id"),
+      col("tokens"), col("n_tok"), col("source"))
+    Engine.run(seqs, specs)
+      .select(col("doc_id"), col("ts"),
+        element_at(col("values"), 1).cast("double").as("v"))
+      .orderBy("doc_id", "ts", "v")
+  }
+
   // ------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -270,7 +290,8 @@ object Queries3 {
     "q37_pack" -> q37Pack,
     "q38_vocab_topk" -> q38VocabTopK,
     "q39_lsh_clusters" -> q39LshClusters,
-    "q40_lsh_keep" -> q40LshKeep)
+    "q40_lsh_keep" -> q40LshKeep,
+    "q41_curve_fsr" -> q41CurveFsr)
 
   private val toksSql =
     "list_transform(string_split(text, ' '), w -> length(w))"
@@ -317,6 +338,21 @@ object Queries3 {
          SELECT reach.node, e.b FROM reach JOIN e ON reach.r = e.a)"""
 
   val oracle: Map[String, String] = Map(
+    "q41_curve_fsr" ->
+      s"""WITH t AS (SELECT doc_id::VARCHAR AS doc_id, $toksSql AS toks
+                     FROM documents),
+         c AS (
+           SELECT doc_id,
+             unnest(list_transform(
+               list_filter(range(len(toks)),
+                 i -> i = 0 OR toks[i+1] <> toks[i]),
+               i -> {'i': i, 'v': toks[i+1]})) AS r
+           FROM t WHERE len(toks) > 0)
+         SELECT doc_id,
+                CAST(round((r.i * 1000000) / 400000000.0) * 400000000
+                  AS BIGINT) AS ts,
+                CAST(r.v AS DOUBLE) AS v
+         FROM c ORDER BY doc_id, ts, v""",
     "q28_ann_topk" ->
       s"""WITH $sigCte,
          flips AS (

@@ -211,9 +211,17 @@ object TransformSpecs {
     }
   }
 
-  /** Vamp example-plugin URIs -> registry analogs (same outputs/params). */
+  /** Vamp example-plugin URIs -> registry analogs (same outputs/params),
+    * plus our own graft:-prefixed QName local names (so RdfSink output
+    * round-trips: `vamp:plugin graft:energy` under a declared graft:
+    * prefix parses back to the registry name). */
   val n3PluginAliases: Map[String, String] = Map(
-    "percussiononsets" -> "graft:energy")
+    "percussiononsets" -> "graft:energy",
+    "energy" -> "graft:energy",
+    "histogram" -> "graft:histogram",
+    "regions" -> "graft:regions",
+    "clicks" -> "graft:clicks",
+    "changepoints" -> "graft:changepoints")
 
   /** Drop `# comment` outside quotes and <URIs> (`@prefix : <#>.` keeps
     * its hash). */

@@ -39,23 +39,29 @@ object CsvSink {
       append: Boolean = false,
       rate: Double = 1000.0) // positions/sec, for sample-timing
 
+  /** C `%g` semantics for one double (shared by the UDF and tests).
+    * Java's `%.Ng` keeps trailing mantissa zeros ("1.00000e+07") where C
+    * trims them ("1e+07") — mismatch on every value ≥ 1e6 or < 1e-4
+    * against the reference CSV goldens (round-1 advice). */
+  def gFormatValue(d: Double, digits: Int): String = {
+    if (d.isNaN) return "NaN"
+    if (d.isInfinite) return if (d > 0) "Inf" else "-Inf"
+    val s = String.format(s"%.${digits}g", java.lang.Double.valueOf(d))
+    def trimFrac(m: String): String =
+      if (m.contains('.')) m.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+      else m
+    val eIdx = s.indexWhere(ch => ch == 'e' || ch == 'E')
+    if (eIdx >= 0) {
+      // trim the mantissa like C; keep the e+NN exponent form (C prints
+      // at least two exponent digits, as Java does)
+      trimFrac(s.substring(0, eIdx)) + s.substring(eIdx)
+    } else trimFrac(s)
+  }
+
   /** %g-style significant-digit formatter (sink-side only). */
   def gFormat(digits: Int): Column => Column = { c =>
     val f = udf((v: java.lang.Float) =>
-      if (v == null) ""
-      else {
-        val d = v.toDouble
-        if (d.isNaN) "NaN"
-        else if (d.isInfinite) { if (d > 0) "Inf" else "-Inf" }
-        else {
-          val s = String.format(s"%.${digits}g", java.lang.Double.valueOf(d))
-          // trim exponent-free trailing zeros the way %g in C does
-          if (s.contains('e') || s.contains('E')) s
-          else if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse
-            .stripSuffix(".")
-          else s
-        }
-      })
+      if (v == null) "" else gFormatValue(v.toDouble, digits))
     f(c)
   }
 
@@ -105,26 +111,35 @@ object CsvSink {
           lag(col("doc_id"), 1).over(w) =!= col("doc_id"),
         concat(lit("\""), col("doc_id"), lit("\""))).otherwise(lit("")))
 
-    val valuesCol = array_join(transform(col("values"), v => g(v)), sep)
-    val labelCol = when(length(col("label")) > 0,
-      concat(lit("\""), col("label"), lit("\""))).otherwise(lit(""))
+    // Build the line CONDITIONALLY per optional slot instead of post-hoc
+    // collapsing of repeated separators: the old `sep{2,} -> sep` regex
+    // also merged legitimately empty fields INSIDE the values array (null
+    // values format to ""), silently shifting later columns relative to
+    // the reference layout (round-1 advice). The optional slots are:
+    //   - duration/end: dropped when the row has no duration (golden
+    //     tests/test-transforms-basic/expected/percussiononsets.csv:1-3)
+    //     — except fill-ends, which always emits an end
+    //   - values: dropped when the array is empty (instants shapes)
+    //   - label: dropped when empty
+    // The LEADING filename slot keeps its separator on repeat rows
+    // (",0.016,…" — goldens tests/test-summaries/expected/summaries.csv).
+    def opt(piece: Column): Column = // prepend sep when present, else ""
+      coalesce(concat(lit(sep), piece), lit(""))
+    val valuesPiece = when(size(col("values")) > 0,
+      concat(lit(sep), array_join(transform(col("values"), v => g(v)), sep)))
+    val labelPiece = when(length(col("label")) > 0,
+      concat(lit(sep), lit("\""), col("label"), lit("\"")))
+    // filename slot: absent entirely under omitFilename; otherwise the
+    // (possibly empty) quoted doc id plus its separator
+    val fileStart: Column =
+      fileCol.map(f => concat(coalesce(f, lit("")), lit(sep))).getOrElse(lit(""))
 
-    val pieces: Seq[Column] =
-      fileCol.toSeq ++ Seq(tsOut) ++
-        endCol.map(e => coalesce(e, lit(""))).toSeq ++
-        Seq(valuesCol, labelCol)
-    // concat_ws would skip NULLs and shift columns; coalesce to "" instead
+    val line = concat(
+      Seq(fileStart, tsOut) ++
+        endCol.map(opt).toSeq ++
+        Seq(coalesce(valuesPiece, lit("")), coalesce(labelPiece, lit(""))): _*)
     features
-      .withColumn("line",
-        concat_ws(sep, pieces.map(p => coalesce(p, lit(""))): _*))
-      // durationless feature shapes drop the empty duration column slot;
-      // empty labels drop the trailing field (golden
-      // tests/test-transforms-basic/expected/percussiononsets.csv:1-3) —
-      // note the LEADING empty filename slot is preserved (single sep)
-      .withColumn("line", regexp_replace(col("line"),
-        java.util.regex.Pattern.quote(sep) + "{2,}", sep))
-      .withColumn("line", regexp_replace(col("line"),
-        java.util.regex.Pattern.quote(sep) + "+$", ""))
+      .withColumn("line", line)
       .select(col("doc_id"), col("transform_id"), col("ts"), col("line"))
   }
 
@@ -189,29 +204,40 @@ object CsvSink {
     * (K8 naming, tests/test-csv-destinations/test-csv-destinations.sh:8-17).
     * Pre-flight existence validation before any extraction output is
     * written (K9 fail-fast, FeatureExtractionManager.cpp:1119-1134).
-    * Intended for small result sets (the reference's per-track use case);
-    * the scale path is writeOneFile / parquet. */
+    *
+    * ONE Spark job: lines aggregate to one (doc, transform, content) row
+    * per output file (sorted inside the aggregation), a single collect
+    * brings them to the driver, destinations are all validated, then
+    * files are written locally. Round 1 launched one job + collect PER
+    * pair — 10k tracks meant 10k jobs. Per-file content must fit on the
+    * driver (the per-track layout is inherently a small-result sink; the
+    * scale path is writeOneFile / partitioned parquet). */
   def writePerTrack(lines: DataFrame, basedir: String, opts: Options): Seq[String] = {
     Files.createDirectories(Paths.get(basedir))
-    val pairs = lines.select("doc_id", "transform_id").distinct()
-      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    val grouped = lines
+      .groupBy(col("doc_id"), col("transform_id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("ts"), col("line")))),
+          s => s("line")),
+        "\n").as("content"))
+      .collect() // the one job: one row per output file
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .sortBy(t => (t._1, t._2))
     def fileFor(doc: String, tr: String) =
       Paths.get(basedir, s"${doc}_${tr.replace(':', '_')}.csv")
     // K9: validate ALL destinations before writing any
-    pairs.foreach { case (d, t) =>
+    grouped.foreach { case (d, t, _) =>
       val f = fileFor(d, t)
       if (Files.exists(f) && !opts.force && !opts.append)
         throw new IllegalStateException(s"output $f exists (use force/append)")
     }
-    pairs.map { case (d, t) =>
+    grouped.map { case (d, t, content) =>
       val f = fileFor(d, t)
-      val rows = lines.where(col("doc_id") === d && col("transform_id") === t)
-        .orderBy(col("ts")).select("line")
-        .collect().map(_.getString(0))
-      val content = rows.mkString("", "\n", "\n")
+      val body = content + "\n"
       if (opts.append && Files.exists(f))
-        Files.writeString(f, content, java.nio.file.StandardOpenOption.APPEND)
-      else Files.writeString(f, content)
+        Files.writeString(f, body, java.nio.file.StandardOpenOption.APPEND)
+      else Files.writeString(f, body)
       f.toString
     }.toSeq
   }

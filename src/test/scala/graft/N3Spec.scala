@@ -55,6 +55,39 @@ class N3Spec extends AnyFunSuite {
     assert(multi.map(_.output) == Seq("onsets", "detectionfunction"))
   }
 
+  test("RDF writer output round-trips through parseN3 (reference round-trip shape)") {
+    // analog of tests/test-summaries/test-summaries.sh:75-86: extract ->
+    // write RDF -> re-parse the RDF as a transform spec
+    val in = Files.createTempDirectory("graftrdf").toString + "/seqs"
+    SequenceGen.generate(spark, 5, seed = 9L).write.parquet(in)
+    val out = Files.createTempDirectory("graftrdfout").toString + "/feat.ttl"
+    val tf = Files.createTempDirectory("graftrdftf").toString + "/t.json"
+    Files.writeString(Paths.get(tf),
+      """[{"id": "cp", "plugin": "graft:energy", "output": "onsets",
+        |  "step_size": 8, "block_size": 16,
+        |  "parameters": {"sensitivity": 40.0, "threshold": 3.0}}]""".stripMargin)
+    Main.run(spark, Main.parseArgs(Seq(
+      "--input", in, "--transforms", tf,
+      "--writer", "rdf", "--output", out, "--one-file")))
+    val ttl = Files.readString(Paths.get(out))
+    // graph shape: prefixes, transform node, file->signal->timeline, events
+    assert(ttl.startsWith("@prefix rdf:"))
+    assert(ttl.contains(":transform_cp"))
+    assert(ttl.contains("a vamp:Transform ."))
+    assert(ttl.contains("mo:encodes :signal_doc_0000000001"))
+    assert(ttl.contains("tl:onTimeLine :signal_timeline_doc_0000000001"))
+    assert(ttl.contains("vamp:computed_by :transform_cp"))
+    assert("\"PT\\d+\\.\\d{9}S\"\\^\\^xsd:duration".r.findFirstIn(ttl).nonEmpty)
+    // round-trip: the emitted Turtle parses back to the same spec
+    val back = TransformSpecs.parseN3(ttl)
+    assert(back.size == 1)
+    assert(back.head.plugin == "graft:energy")
+    assert(back.head.output == "onsets")
+    assert(back.head.stepSize == 8 && back.head.blockSize == 16)
+    assert(back.head.parameters ==
+      Map("sensitivity" -> 40.0, "threshold" -> 3.0))
+  }
+
   test("end-to-end CLI run from a verbatim reference .n3 file") {
     val in = Files.createTempDirectory("graftn3").toString + "/seqs"
     SequenceGen.generate(spark, 10, seed = 5L).write.parquet(in)

@@ -88,6 +88,63 @@ class SinksSpec extends AnyFunSuite {
     assert(Files.readAllLines(Paths.get(path)).size() == 6)
   }
 
+  test("gFormat matches C %g in exponent range (trimmed mantissa)") {
+    // C: printf("%.6g", 1e7) -> "1e+07"; Java alone keeps "1.00000e+07"
+    assert(CsvSink.gFormatValue(1e7, 6) == "1e+07")
+    assert(CsvSink.gFormatValue(1.2e6, 6) == "1.2e+06")
+    assert(CsvSink.gFormatValue(0.00005, 6) == "5e-05")
+    assert(CsvSink.gFormatValue(1234567.0, 6) == "1.23457e+06")
+    assert(CsvSink.gFormatValue(0.1, 6) == "0.1")
+    assert(CsvSink.gFormatValue(12345.0, 6) == "12345")
+    assert(CsvSink.gFormatValue(-3.25e8, 6) == "-3.25e+08")
+  }
+
+  test("null value elements keep their column slot (no separator collapse)") {
+    val df = Seq(("d", "t", 0L, None: Option[Long],
+      Seq(Some(1.5f), None, Some(2.5f)), ""))
+      .toDF("doc_id", "transform_id", "ts", "duration", "values", "label")
+    val lines = CsvSink.formatFeatures(df, CsvSink.Options())
+      .select("line").as[String].collect()
+    // the middle (null) value must keep its empty slot: 1.5,,2.5
+    assert(lines(0) == "\"d\",0.000000000,1.5,,2.5")
+  }
+
+  test("per-track write of >100 tracks runs exactly ONE Spark job") {
+    val n = 120
+    val df = (0 until n).flatMap { i =>
+      Seq((f"doc_$i%03d", "t1", 0L, None: Option[Long], Seq(1.0f), ""),
+        (f"doc_$i%03d", "t1", S, None: Option[Long], Seq(2.0f), ""))
+    }.toDF("doc_id", "transform_id", "ts", "duration", "values", "label")
+    val lines = CsvSink.formatFeatures(df, CsvSink.Options())
+    val out = Files.createTempDirectory("graftmany").toString
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val written = CsvSink.writePerTrack(lines, out, CsvSink.Options())
+      // listener events are async; wait for the count to go stable
+      var last = -1
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(100)
+        if (jobs.get() == last) stable += 1 else { last = jobs.get(); stable = 0 }
+      }
+      assert(written.size == n)
+      // ONE action: AQE materializes the shuffle stage as its own job, so
+      // one action = 2 jobs. The regression target is O(1) jobs, not the
+      // round-1 one-job-PER-PAIR (120 tracks -> 121+ jobs).
+      assert(jobs.get() <= 3,
+        s"writePerTrack must be O(1) jobs, saw ${jobs.get()} for $n tracks")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val lines0 = Files.readAllLines(Paths.get(s"$out/doc_000_t1.csv"))
+    assert(lines0.size() == 2)
+    assert(lines0.get(0) == "\"doc_000\",0.000000000,1")
+    assert(lines0.get(1) == ",1.000000000,2")
+  }
+
   test("per-track files: naming, pre-flight collision check") {
     val dir = Files.createTempDirectory("graftcsv2").toString
     val lines = CsvSink.formatFeatures(
