@@ -214,6 +214,13 @@ object Main {
       case "rdf" => graft.sinks.RdfSink.writeTurtle(
         features.withColumn("doc_id", col("doc_id").cast("string")),
         specs, c.output, c.csv)
+      case "midi" =>
+        graft.sinks.MidiSink.writeMidPerDoc(
+          graft.sinks.MidiSink.toNotes(
+            features.withColumn("doc_id", col("doc_id").cast("string")),
+            unitIsHz = false),
+          c.output)
+        ()
       case "xml" =>
         graft.sinks.XmlSink.toXmlRows(features).select("xml")
           .coalesce(1).write.mode("overwrite").text(c.output)

@@ -145,6 +145,34 @@ class SinksSpec extends AnyFunSuite {
     assert(lines0.get(1) == ",1.000000000,2")
   }
 
+  test(".mid encoding round-trips through javax.sound.midi") {
+    val notes = Seq(
+      ("d1", "t", 0, 0L, Some(500000000L), 60, 100),
+      ("d1", "t", 0, 500000000L, Some(250000000L), 64, 90),
+      ("d1", "t", 1, 1000000000L, None: Option[Long], 67, 100),
+      ("d2", "t", 0, 0L, Some(1000000000L), 72, 100))
+      .toDF("doc_id", "transform_id", "channel", "ts", "duration",
+        "pitch", "velocity")
+    val out = Files.createTempDirectory("graftmidi").toString
+    val written = graft.sinks.MidiSink.writeMidPerDoc(notes, out)
+    assert(written.map(p => Paths.get(p).getFileName.toString).sorted ==
+      Seq("d1.mid", "d2.mid"))
+    val seq1 = javax.sound.midi.MidiSystem.getSequence(
+      new java.io.File(s"$out/d1.mid"))
+    assert(seq1.getResolution == 480) // ticks per quarter
+    val msgs = (0 until seq1.getTracks()(0).size()).map(
+      seq1.getTracks()(0).get(_))
+    val ons = msgs.collect {
+      case e if e.getMessage.isInstanceOf[javax.sound.midi.ShortMessage] &&
+          e.getMessage.asInstanceOf[javax.sound.midi.ShortMessage]
+            .getCommand == javax.sound.midi.ShortMessage.NOTE_ON =>
+        val m = e.getMessage.asInstanceOf[javax.sound.midi.ShortMessage]
+        (e.getTick, m.getChannel, m.getData1, m.getData2)
+    }
+    // 120 BPM, 480 tpq: 1 s = 960 ticks
+    assert(ons == Seq((0L, 0, 60, 100), (480L, 0, 64, 90), (960L, 1, 67, 100)))
+  }
+
   test("per-track files: naming, pre-flight collision check") {
     val dir = Files.createTempDirectory("graftcsv2").toString
     val lines = CsvSink.formatFeatures(
