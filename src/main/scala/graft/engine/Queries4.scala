@@ -1,0 +1,192 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.WindowShape
+import graft.operators.Multiplex
+import graft.sources.Tables
+
+/** Correctness-gate queries, part 4 (round 2): oracle coverage for §2
+  * rows that round 1 left unit-tested only — time-range filtering (P2),
+  * taper windows (W2), manifest selection (S3), channel mixdown (P1),
+  * and multi-summary one-pass routing (A3/P4). */
+object Queries4 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def docsTok(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("tokens", transform(split(col("text"), " "), w => length(w)))
+      .withColumn("n_tok", size(col("tokens")))
+
+  private def seqsOf(s: SparkSession, dir: String): DataFrame =
+    docsTok(s, dir).select(
+      col("doc_id").cast("string").as("doc_id"),
+      col("tokens"), col("n_tok"), col("source"))
+
+  // --------------------------------------------------------------- q42
+  /** P2 time-range filter: the q30 energy pipeline restricted to
+    * start=0.016s duration=0.048s — rows must fall in [16ms, 64ms). */
+  def q42TimeRange(s: SparkSession, dir: String): DataFrame = {
+    val specs = TransformSpecs.parseJson(
+      """[{"id": "e2e", "plugin": "graft:energy",
+         |  "output": "detectionfunction", "step_size": 8,
+         |  "block_size": 16, "window_type": "rectangular",
+         |  "start": "0.016", "duration": "0.048"}]""".stripMargin)
+    Engine.run(seqsOf(s, dir), specs)
+      .select(col("doc_id"), col("ts"),
+        round(element_at(col("values"), 1).cast("double"), 6).as("energy"))
+      .orderBy("doc_id", "ts")
+  }
+
+  // --------------------------------------------------------------- q43
+  /** W2 taper: hanning-windowed frame energy. The oracle reuses the
+    * ENGINE-computed coefficient literals (Framing.taperCoefficients
+    * formatted via shortest-round-trip Double.toString), so there is no
+    * cross-engine libm-cos discrepancy — only the frame arithmetic is
+    * recomputed in SQL. */
+  def q43TaperHanning(s: SparkSession, dir: String): DataFrame = {
+    val specs = TransformSpecs.parseJson(
+      """[{"id": "hann", "plugin": "graft:energy",
+         |  "output": "detectionfunction", "step_size": 8,
+         |  "block_size": 16, "window_type": "hanning"}]""".stripMargin)
+    Engine.run(seqsOf(s, dir), specs)
+      .select(col("doc_id"), col("ts"),
+        round(element_at(col("values"), 1).cast("double"), 6).as("energy"))
+      .orderBy("doc_id", "ts")
+  }
+
+  // --------------------------------------------------------------- q44
+  /** S3 manifest/playlist selection: a manifest of every 7th doc id
+    * selects the subset via broadcast left-semi join. */
+  def q44Manifest(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsTok(s, dir)
+    val manifest = docs.select(col("doc_id"))
+      .where(pmod(col("doc_id"), lit(7)) === 0)
+    Tables.fromManifest(docs, manifest)
+      .select(col("doc_id"), col("n_tok").cast("long").as("n_tok"))
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------- q45
+  /** P1 channel mixdown: multiplex docs 0-3 into channels (0-padded to
+    * the longest), then per-position mean across the 4 channels. */
+  def q45Mixdown(s: SparkSession, dir: String): DataFrame = {
+    val m = Multiplex.mixdown(
+      Multiplex.multiplex(seqsOf(s, dir), Seq("0", "1", "2", "3")),
+      "channels")
+    m.select(posexplode(col("mixed")))
+      .select((col("pos") + 1).cast("long").as("pos"),
+        round(col("col"), 6).as("mixed"))
+      .orderBy("pos")
+  }
+
+  // --------------------------------------------------------------- q46
+  /** A3/P4 multi-summary one pass: TWO summary types (mean + count) over
+    * ONE extraction pass of the q30 energy curve, routed by summary
+    * type. Continuous-time weighting: each value spans to the next
+    * feature's ts; the last row of a doc spans 0 (its own end). Energy
+    * values are k/16 with k integer and spans are ns integers, so the
+    * weighted sums are exact in both engines. */
+  def q46MultiSummary(s: SparkSession, dir: String): DataFrame = {
+    val specs = TransformSpecs.parseJson(
+      """[{"id": "m", "plugin": "graft:energy",
+         |  "output": "detectionfunction", "step_size": 8,
+         |  "block_size": 16, "window_type": "rectangular",
+         |  "summary_type": "mean"},
+         | {"id": "c", "plugin": "graft:energy",
+         |  "output": "detectionfunction", "step_size": 8,
+         |  "block_size": 16, "window_type": "rectangular",
+         |  "summary_type": "count"}]""".stripMargin)
+    val features = Engine.run(seqsOf(s, dir), specs)
+    Engine.summarize(features, specs)
+      .select(col("doc_id"), col("summary_name"),
+        round(element_at(col("values"), 1), 6).as("v"))
+      .orderBy("doc_id", "summary_name")
+  }
+
+  // ------------------------------------------------------------- wiring
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_time_range" -> q42TimeRange,
+    "q43_taper_hanning" -> q43TaperHanning,
+    "q44_manifest" -> q44Manifest,
+    "q45_mixdown" -> q45Mixdown,
+    "q46_multi_summary" -> q46MultiSummary)
+
+  private val toksSql =
+    "list_transform(string_split(text, ' '), w -> length(w))"
+
+  /** frames CTE shared by the energy oracles (q30's shape). */
+  private val framesCte =
+    s"""t AS (SELECT doc_id::VARCHAR AS doc_id, $toksSql AS toks
+              FROM documents),
+       f AS (
+         SELECT doc_id, toks,
+                unnest(range((len(toks) - 16) // 8 + 1)) AS frame
+         FROM t WHERE len(toks) >= 16)"""
+
+  /** Hanning taper coefficients as a SQL list literal — the ENGINE's
+    * values verbatim (Double.toString round-trips exactly). */
+  private val hannSql = graft.frames.Framing
+    .taperCoefficients(WindowShape.Hanning, 16)
+    .map(_.toString).mkString("[", ", ", "]")
+
+  val oracle: Map[String, String] = Map(
+    "q42_time_range" ->
+      s"""WITH $framesCte
+         SELECT doc_id, frame * 8000000 AS ts,
+                round(CAST(list_sum(list_transform(
+                  toks[frame*8+1 : frame*8+16], x -> x*x)) AS DOUBLE) / 16.0,
+                  6) AS energy
+         FROM f
+         WHERE frame * 8000000 >= 16000000 AND frame * 8000000 < 64000000
+         ORDER BY 1, 2""",
+    "q43_taper_hanning" ->
+      s"""WITH $framesCte,
+         w AS (SELECT $hannSql::DOUBLE[] AS cf)
+         SELECT doc_id, frame * 8000000 AS ts,
+                round(CAST(list_sum(list_transform(range(16), i ->
+                  (toks[frame*8+i+1] * cf[i+1]) *
+                  (toks[frame*8+i+1] * cf[i+1]))) AS DOUBLE) / 16.0,
+                  6) AS energy
+         FROM f, w ORDER BY 1, 2""",
+    "q44_manifest" ->
+      s"""SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tok
+         FROM documents WHERE doc_id % 7 = 0 ORDER BY doc_id""",
+    "q45_mixdown" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents
+                     WHERE doc_id IN (0, 1, 2, 3)),
+         m AS (SELECT max(len(toks)) AS ml FROM t),
+         pos AS (SELECT unnest(range((SELECT ml FROM m))) AS i)
+         SELECT CAST(i + 1 AS BIGINT) AS pos,
+                round((SELECT sum(CASE WHEN i < len(toks)
+                                  THEN toks[i+1] ELSE 0 END)
+                       FROM t) / 4.0, 6) AS mixed
+         FROM pos ORDER BY pos""",
+    "q46_multi_summary" ->
+      s"""WITH $framesCte,
+         e AS (
+           SELECT doc_id, frame * 8000000 AS ts,
+                  CAST(list_sum(list_transform(
+                    toks[frame*8+1 : frame*8+16], x -> x*x)) AS DOUBLE) / 16.0
+                    AS energy
+           FROM f),
+         sp AS (
+           SELECT doc_id, energy,
+                  coalesce(lead(ts) OVER (PARTITION BY doc_id ORDER BY ts),
+                           max(ts) OVER (PARTITION BY doc_id)) - ts AS w
+           FROM e),
+         agg AS (
+           SELECT doc_id,
+                  sum(energy * w) / sum(w) AS mean_v,
+                  count(*) AS count_v
+           FROM sp GROUP BY doc_id)
+         SELECT doc_id, summary_name,
+                round(CASE WHEN summary_name = 'mean' THEN mean_v
+                           ELSE count_v END, 6) AS v
+         FROM agg, (SELECT unnest(['count', 'mean']) AS summary_name)
+         ORDER BY doc_id, summary_name"""
+  )
+}
