@@ -59,7 +59,51 @@ object Bench {
       t
     }.min
 
+  /** Scale-ladder evidence (`runMain graft.Bench ladder`): the SAME
+    * headline pipeline at 10x the bench rows (4M docs ≈ 1.2B tokens) and
+    * a 4x-higher parallelism pair (local[4] -> local[16]) — a second
+    * point on the (data, cores) ladder showing seq/s-per-core holds as
+    * both axes grow, the sandbox stand-in for "would survive 100x".
+    * Writes BENCH/ladder.json. */
+  private def ladder(): Unit = {
+    val nDocs = 4000000L
+    val seqPath = s"/tmp/graft_bench_seqs_n${nDocs}_seed42"
+    var spark = session(32)
+    if (!new java.io.File(s"$seqPath/_SUCCESS").exists()) {
+      graft.sources.SequenceGen.generate(spark, nDocs)
+        .repartition(256).write.mode("overwrite").parquet(seqPath)
+    }
+    spark.stop()
+    def level(cores: Int, reps: Int): (Double, (Long, Long, Double)) = {
+      val s = session(cores)
+      val seqs = s.read.parquet(seqPath)
+      Pipelines.runAndChecksum(Pipelines.asofFeaturePipeline(s, 2000)) // warmup
+      seqs.agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.col("tokens")))).collect()
+      var chk = (0L, 0L, 0.0)
+      val t = minOf(reps) {
+        chk = Pipelines.runAndChecksum(Pipelines.asofFeaturePipelineNativeOver(seqs))
+      }
+      s.stop()
+      (t, chk)
+    }
+    val (t4, chk4) = level(4, 2)
+    val (t16, chk16) = level(16, 3)
+    require(chk4._1 == chk16._1 &&
+      math.abs(chk4._3 - chk16._3) < math.abs(chk4._3) * 1e-9 + 1e-6,
+      s"parallelism changed the answer: $chk4 vs $chk16")
+    val eff = (t4 / t16) / 4.0
+    val line = f"""{"metric":"scale_ladder_native_asof","n_docs":$nDocs,"p4_sec":$t4%.3f,"p16_sec":$t16%.3f,"seq_per_sec_p16":${nDocs / t16}%.1f,"scaling_efficiency_4_to_16":$eff%.3f}"""
+    val out = new java.io.File("BENCH/ladder.json")
+    out.getParentFile.mkdirs()
+    val w = new java.io.PrintWriter(out)
+    try w.println(line) finally w.close()
+    println(line)
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.contains("ladder")) { ladder(); return }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble)

@@ -58,12 +58,12 @@ object CsvSink {
     } else trimFrac(s)
   }
 
-  /** %g-style significant-digit formatter (sink-side only). */
-  def gFormat(digits: Int): Column => Column = { c =>
-    val f = udf((v: java.lang.Float) =>
-      if (v == null) "" else gFormatValue(v.toDouble, digits))
-    f(c)
-  }
+  /** %g-style significant-digit formatter (sink-side only). Native
+    * codegen'd expression (graft.functions.GFormat) — formatting stays
+    * inside whole-stage codegen; round 1 used a Scala UDF here, the one
+    * UDF in the repo, which forced a row encode/decode per value. */
+  def gFormat(digits: Int): Column => Column = c =>
+    coalesce(graft.functions.GFormat.format(c, digits), lit(""))
 
   /** integer-exact seconds with 9 decimals from a ns column (Spark's `/`
     * is fractional division even on longs — use floor). */

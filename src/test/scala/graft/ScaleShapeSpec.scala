@@ -30,6 +30,32 @@ class ScaleShapeSpec extends AnyFunSuite {
     assert(out.count() > 0)
   }
 
+  test("cosineTopK re-rank runs a PARTIAL top-k below the exchange") {
+    // the |C|x|Q| scored stream must shrink to <= k rows per (qid,
+    // partition) BEFORE shuffling — Spark's WindowGroupLimit pushdown;
+    // this pins that the query shape keeps qualifying for it
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    val out = Similarity.cosineTopK(
+      e.where($"vec_id" < 5).select($"vec_id".as("qid"), $"v".as("qv")),
+      e.select($"vec_id".as("cid"), $"v".as("cv")), 5)
+    val p = out.queryExecution.executedPlan.toString
+    val partialIdx = p.indexOf("row_number(), 5, Partial")
+    val exchangeIdx = p.indexOf("Exchange")
+    assert(partialIdx >= 0, p)
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"partial top-k should sit BELOW the exchange:\n$p")
+  }
+
+  test("csv sink formatting stays codegen'd (native g_format, no UDF)") {
+    val df = Seq(("d", "t", 0L, None: Option[Long], Seq(1.5f), ""))
+      .toDF("doc_id", "transform_id", "ts", "duration", "values", "label")
+    val lines = graft.sinks.CsvSink.formatFeatures(df, graft.sinks.CsvSink.Options())
+    val p = lines.queryExecution.executedPlan.toString
+    assert(p.contains("g_format"), p)
+    assert(!p.contains("UDF"), s"sink plan must not contain a UDF:\n$p")
+  }
+
   test("globalRowNumber == row_number over the global order, no global window") {
     val df = spark.range(1000).toDF("id")
       .withColumn("key", concat(lit("k"), lpad($"id".cast("string"), 5, "0")))
