@@ -106,9 +106,39 @@ object Queries4 {
       .orderBy("doc_id", "summary_name")
   }
 
+  // --------------------------------------------------------------- q47
+  /** S2 recursive directory source: the documents table split across two
+    * nested subtrees (depth 2 and 3), re-read with recursiveFileLookup —
+    * must reproduce the flat table exactly. The nested copy is
+    * materialized once per sf dir (idempotent overwrite). */
+  def q47RecursiveDir(s: SparkSession, dir: String): DataFrame = {
+    val base = s"/tmp/graft_recdir_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+    docs.where(pmod(col("doc_id"), lit(2)) === 0)
+      .write.mode("overwrite").parquet(s"$base/x/a")
+    docs.where(pmod(col("doc_id"), lit(2)) === 1)
+      .write.mode("overwrite").parquet(s"$base/y/b/c")
+    Tables.sequencesRecursive(s, base)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------- q48
+  /** S6 resample-on-read analog: events timestamps re-bucketed from the
+    * µs clock to a 10 Hz grid (round(ts·f)/f, f = 10/1e6). */
+  def q48Rebucket(s: SparkSession, dir: String): DataFrame =
+    Tables.rebucketTs(
+      t(s, dir, "events")
+        .withColumn("ts", unix_micros(col("ts").cast("timestamp"))),
+      "ts", fromRateHz = 1000000.0, toRateHz = 10.0)
+      .select(col("event_id"), col("ts"))
+      .orderBy("event_id")
+
   // ------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_recursive_dir" -> q47RecursiveDir,
+    "q48_rebucket" -> q48Rebucket,
     "q42_time_range" -> q42TimeRange,
     "q43_taper_hanning" -> q43TaperHanning,
     "q44_manifest" -> q44Manifest,
@@ -134,6 +164,12 @@ object Queries4 {
     .map(_.toString).mkString("[", ", ", "]")
 
   val oracle: Map[String, String] = Map(
+    "q47_recursive_dir" ->
+      "SELECT doc_id, n_chars FROM documents ORDER BY doc_id",
+    "q48_rebucket" ->
+      """SELECT event_id,
+                (epoch_us(ts) + 50000) // 100000 * 100000 AS ts
+         FROM events ORDER BY event_id""",
     "q42_time_range" ->
       s"""WITH $framesCte
          SELECT doc_id, frame * 8000000 AS ts,

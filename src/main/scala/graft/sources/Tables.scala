@@ -31,11 +31,23 @@ object Tables {
 
   /** S6: resample-on-read analog — re-bucket an event-time column to a
     * common grid (the reference opens readers at the transform rate,
-    * FeatureExtractionManager.cpp:723-763). Keeps ns integer time. */
+    * FeatureExtractionManager.cpp:723-763). Keeps integer time. When the
+    * grid period (fromRate/toRate source ticks) is integral, the snap is
+    * PURE int64 arithmetic — round(x·f)/f in doubles puts the result one
+    * ulp under the grid point and a long cast then truncates to
+    * grid−1 (measured: 1704067207200000 → …199999). Non-integral
+    * periods keep the double path. Timestamps must be >= 0. */
   def rebucketTs(df: DataFrame, tsCol: String, fromRateHz: Double,
       toRateHz: Double): DataFrame = {
-    val factor = toRateHz / fromRateHz
-    df.withColumn(tsCol,
-      (round(col(tsCol).cast("double") * factor) / factor).cast("long"))
+    val period = fromRateHz / toRateHz
+    if (period == math.rint(period) && period >= 1) {
+      val p = period.toLong
+      df.withColumn(tsCol,
+        expr(s"((`$tsCol` + ${p / 2}L) div ${p}L) * ${p}L"))
+    } else {
+      val factor = toRateHz / fromRateHz
+      df.withColumn(tsCol,
+        (round(col(tsCol).cast("double") * factor) / factor).cast("long"))
+    }
   }
 }
