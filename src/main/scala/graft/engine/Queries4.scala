@@ -134,11 +134,51 @@ object Queries4 {
       .select(col("event_id"), col("ts"))
       .orderBy("event_id")
 
+  // --------------------------------------------------------------- q49
+  /** A1 vector summaries: per-bin CT-weighted mean over the 16-bin grid
+    * output (per-frame token histogram) — the no-explode vector path,
+    * oracle-pinned per bin (round 1 had only the vector ≡ scalar
+    * ScalaTest identity). Bin values are counts/16 (exact in float32)
+    * and spans are ns integers, so the weighted sums are exact. */
+  def q49VectorMean(s: SparkSession, dir: String): DataFrame = {
+    val specs = TransformSpecs.parseJson(
+      """[{"id": "vm", "plugin": "graft:histogram", "output": "grid",
+         |  "step_size": 8, "block_size": 16, "summary_type": "mean",
+         |  "parameters": {"buckets": 16}}]""".stripMargin)
+    val features = Engine.run(seqsOf(s, dir), specs)
+    Engine.summarize(features, specs)
+      .select(col("doc_id"), posexplode(col("values")))
+      .select(col("doc_id"), col("pos").cast("long").as("bin"),
+        round(col("col"), 6).as("mean_v"))
+      .orderBy("doc_id", "bin")
+  }
+
+  // --------------------------------------------------------------- q50
+  /** J2 interval (notes-regions) as-of variant: the matched feature only
+    * applies while q.ts < f.ts + f.duration — expired matches yield
+    * nulls. Features: purchases valid for 120 s. */
+  def q50AsofInterval(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .withColumn("ts", unix_micros(col("ts").cast("timestamp")))
+    val queries = e.where(col("event_type") =!= "purchase")
+      .select("event_id", "user_id", "ts")
+    val features = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        lit(120000000L).as("dur"),
+        col("value").as("purchase_value"))
+    graft.operators.AsOf.joinInterval(queries, features,
+      "user_id", "ts", "dur", Seq("purchase_value"))
+      .select("event_id", "user_id", "ts", "purchase_value", "matched_ts")
+      .orderBy("event_id")
+  }
+
   // ------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_recursive_dir" -> q47RecursiveDir,
     "q48_rebucket" -> q48Rebucket,
+    "q49_vector_mean" -> q49VectorMean,
+    "q50_asof_interval" -> q50AsofInterval,
     "q42_time_range" -> q42TimeRange,
     "q43_taper_hanning" -> q43TaperHanning,
     "q44_manifest" -> q44Manifest,
@@ -166,6 +206,32 @@ object Queries4 {
   val oracle: Map[String, String] = Map(
     "q47_recursive_dir" ->
       "SELECT doc_id, n_chars FROM documents ORDER BY doc_id",
+    "q49_vector_mean" ->
+      s"""WITH $framesCte,
+         b AS (
+           SELECT doc_id, frame, u.b AS bin,
+                  CAST(len(list_filter(toks[frame*8+1 : frame*8+16],
+                    x -> x % 16 = u.b)) AS DOUBLE) / 16.0 AS v
+           FROM f, (SELECT unnest(range(16)) AS b) u),
+         sp AS (
+           SELECT doc_id, bin, v,
+                  coalesce(lead(frame * 8000000) OVER
+                      (PARTITION BY doc_id, bin ORDER BY frame),
+                    max(frame * 8000000) OVER (PARTITION BY doc_id))
+                    - frame * 8000000 AS w
+           FROM b)
+         SELECT doc_id, bin, round(sum(v * w) / sum(w), 6) AS mean_v
+         FROM sp GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q50_asof_interval" ->
+      """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts,
+                CASE WHEN epoch_us(e.ts) < epoch_us(p.ts) + 120000000
+                     THEN p.value END AS purchase_value,
+                CASE WHEN epoch_us(e.ts) < epoch_us(p.ts) + 120000000
+                     THEN epoch_us(p.ts) END AS matched_ts
+         FROM (SELECT * FROM events WHERE event_type <> 'purchase') e
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+           ON e.user_id = p.user_id AND e.ts >= p.ts
+         ORDER BY e.event_id""",
     "q48_rebucket" ->
       """SELECT event_id,
                 (epoch_us(ts) + 50000) // 100000 * 100000 AS ts
