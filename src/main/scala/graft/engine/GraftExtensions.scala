@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 import org.apache.spark.sql.graftbridge.Bridge
-import graft.functions.{FrameAgg, IntersectCount, VecDot}
+import graft.functions.{FrameAgg, GFormat, IntersectCount, TokenHistogram, VecDot}
 
 /** The engine's SparkSessionExtensions: the canonical Spark integration
   * point (`spark.sql.extensions=graft.engine.GraftExtensions`, or
@@ -84,6 +84,26 @@ object GraftExtensions {
         FrameAgg(t, intArg(s, "step"), intArg(b, "block"), "mean")
       case args => throw new IllegalArgumentException(
         s"frame_mean takes 3 arguments, got ${args.length}")
+    },
+    fn("token_histogram",
+      "token_histogram(tokens, k) - per-bucket counts (token mod k) over array<int>") {
+      case Seq(t, k) => TokenHistogram(t, intArg(k, "k"))
+      case args => throw new IllegalArgumentException(
+        s"token_histogram takes 2 arguments, got ${args.length}")
+    },
+    fn("hyperplane_sig",
+      "hyperplane_sig(v, dim, nPlanes) - LSH sign-bit bucket of array<double>") {
+      case Seq(v, d, p) =>
+        graft.functions.HyperplaneSig(asArrayOf(v, DoubleType),
+          graft.operators.Similarity.planeMatrix(intArg(d, "dim"), intArg(p, "nPlanes")))
+      case args => throw new IllegalArgumentException(
+        s"hyperplane_sig takes 3 arguments, got ${args.length}")
+    },
+    fn("g_format",
+      "g_format(v, digits) - C %g significant-digit formatting of float/double") {
+      case Seq(v, d) => GFormat(v, intArg(d, "digits"))
+      case args => throw new IllegalArgumentException(
+        s"g_format takes 2 arguments, got ${args.length}")
     })
 
   /** Apply strategy + SQL functions to a live session (idempotent). */

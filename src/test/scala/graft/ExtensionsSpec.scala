@@ -26,6 +26,23 @@ class ExtensionsSpec extends AnyFunSuite {
       "SELECT frame_mean(array(2, 4, 6, 8), 2, 2) AS f")
       .head().getSeq[Double](0)
     assert(fm == Seq(3.0, 7.0))
+    val th = spark.sql(
+      "SELECT token_histogram(array(0, 1, 17, 5), 16) AS h")
+      .head().getSeq[Long](0)
+    assert(th(0) == 1 && th(1) == 2 && th(5) == 1)
+    val hs = spark.sql(
+      "SELECT hyperplane_sig(array(1.0d, 0.0d, 0.5d, 0.2d), 4, 4) AS s")
+      .head().getLong(0)
+    val v = Seq(1.0, 0.0, 0.5, 0.2)
+    val expectSig = graft.operators.Similarity.planeMatrix(4, 4).zipWithIndex
+      .foldLeft(0L) { case (acc, (plane, p)) =>
+        val d = v.zip(plane).foldLeft(0.0)((a, xc) => a + xc._1 * xc._2)
+        if (d >= 0) acc | (1L << p) else acc
+      }
+    assert(hs == expectSig)
+    val gf = spark.sql("SELECT g_format(10000000.0d, 6) AS g")
+      .head().getString(0)
+    assert(gf == "1e+07")
     // registration is idempotent
     GraftExtensions.register(spark)
     assert(spark.sql("SELECT vec_dot(array(1.0d), array(2.0d))")
