@@ -3,7 +3,7 @@ package graft.engine
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 import org.apache.spark.sql.graftbridge.Bridge
 import graft.functions.{FrameAgg, GFormat, IntersectCount, TokenHistogram, VecDot}
 
@@ -57,6 +57,15 @@ object GraftExtensions {
       case _ => e // leave as-is; checkInputDataTypes reports it
     }
 
+  /** Scalar numeric coercion: SQL literals like 1.5 are DECIMAL — cast
+    * any non-double numeric input so `g_format(1.5, 6)` just works. */
+  private def asDouble(e: Expression): Expression =
+    e.dataType match {
+      case DoubleType => e
+      case _: org.apache.spark.sql.types.NumericType => Cast(e, DoubleType)
+      case _ => e
+    }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     fn("vec_dot", "vec_dot(a, b) - dot product of two array<double>") {
@@ -74,20 +83,22 @@ object GraftExtensions {
     fn("frame_energy",
       "frame_energy(tokens, step, block) - per-frame mean square over array<int>") {
       case Seq(t, s, b) =>
-        FrameAgg(t, intArg(s, "step"), intArg(b, "block"), "energy")
+        FrameAgg(asArrayOf(t, IntegerType),
+          intArg(s, "step"), intArg(b, "block"), "energy")
       case args => throw new IllegalArgumentException(
         s"frame_energy takes 3 arguments, got ${args.length}")
     },
     fn("frame_mean",
       "frame_mean(tokens, step, block) - per-frame mean over array<int>") {
       case Seq(t, s, b) =>
-        FrameAgg(t, intArg(s, "step"), intArg(b, "block"), "mean")
+        FrameAgg(asArrayOf(t, IntegerType),
+          intArg(s, "step"), intArg(b, "block"), "mean")
       case args => throw new IllegalArgumentException(
         s"frame_mean takes 3 arguments, got ${args.length}")
     },
     fn("token_histogram",
       "token_histogram(tokens, k) - per-bucket counts (token mod k) over array<int>") {
-      case Seq(t, k) => TokenHistogram(t, intArg(k, "k"))
+      case Seq(t, k) => TokenHistogram(asArrayOf(t, IntegerType), intArg(k, "k"))
       case args => throw new IllegalArgumentException(
         s"token_histogram takes 2 arguments, got ${args.length}")
     },
@@ -101,7 +112,7 @@ object GraftExtensions {
     },
     fn("g_format",
       "g_format(v, digits) - C %g significant-digit formatting of float/double") {
-      case Seq(v, d) => GFormat(v, intArg(d, "digits"))
+      case Seq(v, d) => GFormat(asDouble(v), intArg(d, "digits"))
       case args => throw new IllegalArgumentException(
         s"g_format takes 2 arguments, got ${args.length}")
     })

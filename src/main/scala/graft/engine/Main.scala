@@ -97,15 +97,17 @@ object Main {
   def loadSpecs(c: Config): Seq[graft.model.TransformSpec] = {
     val fromFiles = c.transformFiles.flatMap { f =>
       val text = Files.readString(Paths.get(f))
-      // reference order: try RDF first, then XML
-      // (runner/FeatureExtractionManager.cpp:482-605); we dispatch on
-      // extension first, then content sniffing for extensionless files
+      // dispatch on extension; extensionless files follow the reference's
+      // parse order — try RDF first, then XML, then (ours) JSON
+      // (runner/FeatureExtractionManager.cpp:482-605). startsWith
+      // sniffing misroutes valid Turtle that opens with a <URI> subject
+      // or a # comment, so actually TRY the parsers in order.
       if (f.endsWith(".n3") || f.endsWith(".ttl")) TransformSpecs.parseN3(text)
       else if (f.endsWith(".xml")) Seq(TransformSpecs.parseXml(text))
       else if (f.endsWith(".json")) TransformSpecs.parseJson(text)
-      else if (text.stripLeading.startsWith("@prefix")) TransformSpecs.parseN3(text)
-      else if (text.stripLeading.startsWith("<")) Seq(TransformSpecs.parseXml(text))
-      else TransformSpecs.parseJson(text)
+      else scala.util.Try(TransformSpecs.parseN3(text))
+        .orElse(scala.util.Try(Seq(TransformSpecs.parseXml(text))))
+        .getOrElse(TransformSpecs.parseJson(text))
     }
     val fromDefault = c.defaultTransform.map { d =>
       // -d plugin[:output] — skeleton transform (runner/main.cpp:704-719)

@@ -21,7 +21,7 @@ import graft.operators.{AsOf, Windows}
 object Queries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    QueryUtil.t(s, dir, name)
 
   /** events with ts as epoch micros (BIGINT). Parquet timestamp[us] loads
     * as TIMESTAMP_NTZ in Spark 4; with session tz UTC the cast to LTZ gives
@@ -171,9 +171,7 @@ object Queries {
     * (doc_id, tokens, n_tok, source) — token id = word length (reproducible
     * in ANSI SQL). Arrays leave as csv strings for the oracle. */
   def tokenized(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .withColumn("tokens", transform(split(col("text"), " "), w => length(w)))
-      .withColumn("n_tok", size(col("tokens")))
+    QueryUtil.docsTok(s, dir)
 
   def q10Tokenize(s: SparkSession, dir: String): DataFrame =
     tokenized(s, dir)

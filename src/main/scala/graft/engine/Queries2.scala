@@ -12,7 +12,7 @@ import graft.functions.TokenFeatures
 object Queries2 {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    QueryUtil.t(s, dir, name)
 
   private def docsTok(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -176,8 +176,7 @@ object Queries2 {
     "q23_asof_bucketed" -> q23AsofBucketed,
     "q24_multimodal" -> q24Multimodal)
 
-  private val toksSql =
-    "list_transform(string_split(text, ' '), w -> length(w))"
+  private val toksSql = QueryUtil.toksSql
 
   val oracle: Map[String, String] = Map(
     "q13_dedup_exact" ->

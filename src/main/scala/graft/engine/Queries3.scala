@@ -13,15 +13,13 @@ import graft.operators.{Dedup, Multiplex, Similarity, Windows}
 object Queries3 {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    QueryUtil.t(s, dir, name)
 
   private def ev(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events").withColumn("ts", unix_micros(col("ts").cast("timestamp")))
 
   private def docsTok(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .withColumn("tokens", transform(split(col("text"), " "), w => length(w)))
-      .withColumn("n_tok", size(col("tokens")))
+    QueryUtil.docsTok(s, dir)
 
   // --------------------------------------------------------------- q25
   /** MinHash + banded LSH candidate pairs (8 hashes, 4 bands of 2), with
@@ -293,8 +291,7 @@ object Queries3 {
     "q40_lsh_keep" -> q40LshKeep,
     "q41_curve_fsr" -> q41CurveFsr)
 
-  private val toksSql =
-    "list_transform(string_split(text, ' '), w -> length(w))"
+  private val toksSql = QueryUtil.toksSql
 
   /** DuckDB CTEs reproducing Similarity.planeMatrix (exact-int64
     * double-mixed quadratic-affine coefficients, dim 64 × 8 planes) and
@@ -493,11 +490,19 @@ object Queries3 {
                list_min(list_transform(toks,
                  tk -> ((2*h+1)*tk + (h*h+7)) % 1000000007))) AS sig
            FROM t),
-         banded AS (
+         banded0 AS (
            SELECT id, sig, b,
              array_to_string(list_transform(sig[b*2+1:b*2+2],
                x -> CAST(x AS VARCHAR)), ',') AS bucket
            FROM sig, range(4) r(b)),
+         banded AS (
+           -- the engine CAPS degenerate buckets (maxBucket=1000) so one
+           -- boilerplate bucket cannot own n^2 work; model the same rule
+           -- (at sf0.01 no bucket exceeds it; at sf0.1 several do)
+           SELECT id, sig, b, bucket FROM (
+             SELECT id, sig, b, bucket,
+               count(*) OVER (PARTITION BY b, bucket) AS bn
+             FROM banded0) WHERE bn <= 1000),
          pairs AS (
            SELECT DISTINCT a.id AS id_a, b.id AS id_b,
              CAST(len(list_filter(range(8),

@@ -13,12 +13,10 @@ import graft.sources.Tables
 object Queries4 {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    QueryUtil.t(s, dir, name)
 
   private def docsTok(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .withColumn("tokens", transform(split(col("text"), " "), w => length(w)))
-      .withColumn("n_tok", size(col("tokens")))
+    QueryUtil.docsTok(s, dir)
 
   private def seqsOf(s: SparkSession, dir: String): DataFrame =
     docsTok(s, dir).select(
@@ -185,8 +183,7 @@ object Queries4 {
     "q45_mixdown" -> q45Mixdown,
     "q46_multi_summary" -> q46MultiSummary)
 
-  private val toksSql =
-    "list_transform(string_split(text, ' '), w -> length(w))"
+  private val toksSql = QueryUtil.toksSql
 
   /** frames CTE shared by the energy oracles (q30's shape). */
   private val framesCte =

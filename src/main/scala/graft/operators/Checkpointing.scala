@@ -20,13 +20,24 @@ object Checkpointing {
 
   val ConfKey = "spark.graft.checkpointDir"
 
+  // setCheckpointDir qualifies the path and appends a UUID subdir, so
+  // comparing sc.getCheckpointDir against the configured value is always
+  // false — track what we applied ourselves (one UUID dir per configured
+  // path per JVM, not one per materialize call)
+  private var applied: Option[String] = None
+
   /** Materialize `df` eagerly with truncated lineage (see class doc). */
   def materialize(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption(ConfKey) match {
       case Some(dir) if dir.nonEmpty =>
         val sc = spark.sparkContext
-        if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+        synchronized {
+          if (!applied.contains(dir) || sc.getCheckpointDir.isEmpty) {
+            sc.setCheckpointDir(dir)
+            applied = Some(dir)
+          }
+        }
         df.checkpoint(true)
       case _ => df.localCheckpoint(true)
     }

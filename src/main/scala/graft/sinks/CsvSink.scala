@@ -205,13 +205,15 @@ object CsvSink {
     * Pre-flight existence validation before any extraction output is
     * written (K9 fail-fast, FeatureExtractionManager.cpp:1119-1134).
     *
-    * ONE Spark job: lines aggregate to one (doc, transform, content) row
-    * per output file (sorted inside the aggregation), a single collect
-    * brings them to the driver, destinations are all validated, then
-    * files are written locally. Round 1 launched one job + collect PER
-    * pair — 10k tracks meant 10k jobs. Per-file content must fit on the
-    * driver (the per-track layout is inherently a small-result sink; the
-    * scale path is writeOneFile / partitioned parquet). */
+    * O(1) Spark jobs, O(one file) driver memory: lines aggregate to one
+    * (doc, transform, content) row per output file (sorted inside the
+    * aggregation) and the grouped table is persisted; job 1 collects
+    * ONLY the (doc, transform) name pairs for the K9 pre-flight; job 2
+    * streams contents with toLocalIterator, so the driver holds one
+    * file's content at a time — never the whole output set. Round 1
+    * launched one job + collect PER pair (10k tracks = 10k jobs); the
+    * first round-2 cut collected every file's content at once (10k
+    * tracks x 10 MB = a 100 GB driver peak). */
   def writePerTrack(lines: DataFrame, basedir: String, opts: Options): Seq[String] = {
     Files.createDirectories(Paths.get(basedir))
     val grouped = lines
@@ -221,24 +223,27 @@ object CsvSink {
           array_sort(collect_list(struct(col("ts"), col("line")))),
           s => s("line")),
         "\n").as("content"))
-      .collect() // the one job: one row per output file
-      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
-      .sortBy(t => (t._1, t._2))
+      .persist()
     def fileFor(doc: String, tr: String) =
       Paths.get(basedir, s"${doc}_${tr.replace(':', '_')}.csv")
-    // K9: validate ALL destinations before writing any
-    grouped.foreach { case (d, t, _) =>
-      val f = fileFor(d, t)
-      if (Files.exists(f) && !opts.force && !opts.append)
-        throw new IllegalStateException(s"output $f exists (use force/append)")
-    }
-    grouped.map { case (d, t, content) =>
-      val f = fileFor(d, t)
-      val body = content + "\n"
-      if (opts.append && Files.exists(f))
-        Files.writeString(f, body, java.nio.file.StandardOpenOption.APPEND)
-      else Files.writeString(f, body)
-      f.toString
-    }.toSeq
+    try {
+      // K9: validate ALL destinations before writing any (names only)
+      grouped.select(col("doc_id"), col("transform_id")).collect()
+        .foreach { r =>
+          val f = fileFor(r.getString(0), r.getString(1))
+          if (Files.exists(f) && !opts.force && !opts.append)
+            throw new IllegalStateException(s"output $f exists (use force/append)")
+        }
+      val written = scala.collection.mutable.ListBuffer.empty[String]
+      grouped.toLocalIterator().forEachRemaining { r =>
+        val f = fileFor(r.getString(0), r.getString(1))
+        val body = r.getString(2) + "\n"
+        if (opts.append && Files.exists(f))
+          Files.writeString(f, body, java.nio.file.StandardOpenOption.APPEND)
+        else Files.writeString(f, body)
+        written += f.toString
+      }
+      written.sorted.toSeq
+    } finally grouped.unpersist()
   }
 }

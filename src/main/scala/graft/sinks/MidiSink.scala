@@ -100,9 +100,18 @@ object MidiSink {
     val velocity = when(size(col("values")) >= 2,
       round(element_at(col("values"), 2).cast("double") * 127).cast("int"))
       .otherwise(lit(100))
-    // channel: dense id per transform (reference: one channel per
-    // transform, ≤16)
-    val channel = (abs(hash(col("transform_id"))) % 16).cast("int")
+    // channel: DENSE index per transform in sorted order (reference: one
+    // channel per transform, up to 16, MIDIFeatureWriter.cpp:108-116).
+    // Round 1 hashed the id mod 16, which collides distinct transforms
+    // onto one channel (~p=1/16 per pair) — with real .mid encoding a
+    // collision lets one transform's note-off cut the other's note.
+    // The distinct-collect is bounded by the transform count (<= 16 in
+    // the reference; beyond that we wrap like it would have to).
+    val ids = features.select(col("transform_id").cast("string"))
+      .distinct().orderBy("transform_id").collect().map(_.getString(0))
+    val channel = ids.zipWithIndex.foldLeft(lit(-1)) { case (acc, (id, i)) =>
+      when(col("transform_id") === id, lit(i % 16)).otherwise(acc)
+    }.cast("int")
     features.where(size(col("values")) >= 1)
       .select(col("doc_id"), col("transform_id"), channel.as("channel"),
         col("ts"), col("duration"), pitch.as("pitch"), velocity.as("velocity"))

@@ -45,9 +45,14 @@ object Tables {
       df.withColumn(tsCol,
         expr(s"((`$tsCol` + ${p / 2}L) div ${p}L) * ${p}L"))
     } else {
+      // non-integral period: the grid point itself is fractional, so a
+      // long result must round — cast-truncation would land one ulp
+      // UNDER the grid point (round(x·f)/f evaluates e.g. 2.9999999999999996
+      // for the grid point 3)
       val factor = toRateHz / fromRateHz
       df.withColumn(tsCol,
-        (round(col(tsCol).cast("double") * factor) / factor).cast("long"))
+        round(round(col(tsCol).cast("double") * factor) / factor)
+          .cast("long"))
     }
   }
 }

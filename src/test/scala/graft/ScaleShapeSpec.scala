@@ -95,6 +95,21 @@ class ScaleShapeSpec extends AnyFunSuite {
     } finally spark.conf.unset(Checkpointing.ConfKey)
   }
 
+  test("rebucketTs: integral period is int64-exact; non-integral rounds to grid") {
+    // integral period (1e6 Hz -> 10 Hz = 1e5 ticks): the double form put
+    // the measured value one ulp under the grid and truncated to ...199999
+    val a = graft.sources.Tables.rebucketTs(
+      Seq(1704067207180000L).toDF("ts"), "ts", 1000000.0, 10.0)
+      .as[Long].head()
+    assert(a == 1704067207200000L)
+    // non-integral period (3 Hz -> 2 Hz = 1.5 ticks): ts=3 IS a grid
+    // point and must stay 3 (cast-truncation returned 2)
+    val b = graft.sources.Tables.rebucketTs(
+      Seq(0L, 3L, 5L).toDF("ts"), "ts", 3.0, 2.0)
+      .as[Long].collect().sorted
+    assert(b.toSeq == Seq(0L, 3L, 5L)) // grid 0, 3.0, 4.5->rounds to 5
+  }
+
   test("packGreedy matches under the reliable checkpoint path too") {
     val dir = java.nio.file.Files.createTempDirectory("graftchk2").toString
     val df = spark.range(500).toDF("id")
