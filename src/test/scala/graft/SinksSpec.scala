@@ -177,6 +177,22 @@ class SinksSpec extends AnyFunSuite {
     assert(ons == Seq((0L, 0, 60, 100), (480L, 0, 64, 90), (960L, 1, 67, 100)))
   }
 
+  test("CLI --writer midi emits one parseable .mid per doc") {
+    val in = Files.createTempDirectory("graftmidicli").toString + "/seqs"
+    graft.sources.SequenceGen.generate(spark, 5, seed = 11L).write.parquet(in)
+    val tf = Files.createTempDirectory("graftmiditf").toString + "/t.json"
+    Files.writeString(Paths.get(tf),
+      """[{"id": "r", "plugin": "graft:regions"}]""")
+    val out = Files.createTempDirectory("graftmidiout").toString
+    graft.engine.Main.run(spark, graft.engine.Main.parseArgs(Seq(
+      "--input", in, "--transforms", tf, "--writer", "midi",
+      "--output", out)))
+    val mids = new java.io.File(out).listFiles().filter(_.getName.endsWith(".mid"))
+    assert(mids.nonEmpty)
+    val seq0 = javax.sound.midi.MidiSystem.getSequence(mids.head)
+    assert(seq0.getResolution == 480)
+  }
+
   test("per-track files: naming, pre-flight collision check") {
     val dir = Files.createTempDirectory("graftcsv2").toString
     val lines = CsvSink.formatFeatures(
