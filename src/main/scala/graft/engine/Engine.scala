@@ -81,13 +81,25 @@ object Engine {
   def summarize(
       features: DataFrame,
       specs: Seq[TransformSpec],
-      boundaries: Seq[Long] = Nil): DataFrame = {
+      boundaries: Seq[Long] = Nil,
+      inputEnds: Option[DataFrame] = None): DataFrame = {
     val wanted = specs.flatMap(s => s.summaryType.map(t => s.id -> t))
     require(wanted.nonEmpty, "no transform requests a summary")
     val byType = wanted.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
 
+    // Optional (doc_id, transform_id, input_end_ns): the reference rule
+    // says the FINAL durationless feature extends to the END OF THE
+    // INPUT; without it the last span is 0 (and a single-feature doc
+    // would summarize to null). The CLI derives it from n_tok; callers
+    // that only have the feature table get the last-ending-output rule.
+    val featForSpans = inputEnds match {
+      case Some(ie) => features.join(ie, Seq("doc_id", "transform_id"), "left")
+      case None => features
+    }
     val spanned0 = Summaries.withSpans(
-      features, "doc_id", Some("transform_id"), "ts", Some("duration"))
+      featForSpans, "doc_id", Some("transform_id"), "ts", Some("duration"),
+      inputEnd = inputEnds.map(_ => col("input_end_ns")))
+      .drop("input_end_ns")
     val spanned = if (boundaries.nonEmpty)
       Summaries.withSegment(spanned0, "ts", boundaries)
     else spanned0.withColumn("seg_start", lit(0L))

@@ -231,7 +231,17 @@ object Main {
 
     if (!c.summaryOnly || !wantSummaries) writeFeatures()
     if (wantSummaries) {
-      val sums = Engine.summarize(features, specs, c.segments)
+      // per-(doc, transform) end of input in ns (n_tok positions at the
+      // spec's rate): the reference extends the final durationless
+      // feature to the end of the input, not just to the last feature
+      val inputEnds = specs.map { sp =>
+        val ex = Engine.registry(sp.plugin)
+        val (_, _, rate) = ex.resolve(sp)
+        seqs.select(col("doc_id"), lit(sp.id).as("transform_id"),
+          (col("n_tok").cast("double") * (1e9 / rate)).cast("long")
+            .as("input_end_ns"))
+      }.reduce(_.unionByName(_))
+      val sums = Engine.summarize(features, specs, c.segments, Some(inputEnds))
       val lines = CsvSink.formatSummaries(
         sums.withColumn("doc_id", col("doc_id").cast("string")), c.csv)
       val target = if (c.summaryOnly) c.output

@@ -54,7 +54,9 @@ object Packing {
     val local = Checkpointing.materialize(ranged.mapPartitions { it =>
       var acc = 0L
       it.map { r =>
-        val len = r.get(lenIdx).asInstanceOf[Number].longValue()
+        val raw = r.get(lenIdx)
+        require(raw != null, s"null $lenCol (doc lengths must be non-null)")
+        val len = raw.asInstanceOf[Number].longValue()
         require(len >= 0, s"negative $lenCol: $len (doc lengths must be >= 0)")
         acc += len
         Row.fromSeq(r.toSeq :+ acc)

@@ -96,10 +96,21 @@ case class AsOfJoinExec(
     val numMatched = longMetric("numMatched")
     val leftOut = left.output
     val rightOut = right.output
-    val entityOrd = org.apache.spark.sql.catalyst.util.TypeUtils
+    val entityOrd0 = org.apache.spark.sql.catalyst.util.TypeUtils
       .getInterpretedOrdering(leftEntity.dataType)
-    val tsOrd = org.apache.spark.sql.catalyst.util.TypeUtils
+    val tsOrd0 = org.apache.spark.sql.catalyst.util.TypeUtils
       .getInterpretedOrdering(leftTs.dataType)
+    // null-safe, NULLS FIRST (matching requiredChildOrdering's default):
+    // the interpreted ordering NPEs on null operands, and the batch
+    // window rewrite groups null keys rather than crashing — parity
+    // demands null==null matches here too
+    def nullsFirst(ord: Ordering[Any]): (Any, Any) => Int = (a, b) =>
+      if (a == null && b == null) 0
+      else if (a == null) -1
+      else if (b == null) 1
+      else ord.compare(a, b)
+    val entityOrd = nullsFirst(entityOrd0)
+    val tsOrd = nullsFirst(tsOrd0)
     val strictB = strict
     val lEntityIdx = ordinal(leftOut, leftEntity)
     val lTsIdx = ordinal(leftOut, leftTs)
@@ -127,11 +138,11 @@ case class AsOfJoinExec(
       if (!rHeadDone) rHead = rIter.next()
 
       def rightApplies(le: Any, lt: Any): Boolean = {
-        val ec = entityOrd.compare(rHead.get(rEntityIdx, entityType), le)
+        val ec = entityOrd(rHead.get(rEntityIdx, entityType), le)
         if (ec < 0) true
         else if (ec > 0) false
         else {
-          val tc = tsOrd.compare(rHead.get(rTsIdx, tsType), lt)
+          val tc = tsOrd(rHead.get(rTsIdx, tsType), lt)
           if (strictB) tc < 0 else tc <= 0
         }
       }
@@ -152,7 +163,7 @@ case class AsOfJoinExec(
           hasCarry = true
           if (rIter.hasNext) rHead = rIter.next() else { rHeadDone = true; rHead = null }
         }
-        val matches = hasCarry && entityOrd.compare(carryEntity, le) == 0
+        val matches = hasCarry && entityOrd(carryEntity, le) == 0
         numOutputRows += 1
         if (matches) numMatched += 1
         project(joined(lRow, if (matches) carry else nullCarry))
@@ -191,8 +202,17 @@ object AsOfNative {
   def join(queries: DataFrame, features: DataFrame, entityCol: String,
       tsCol: String, valueCols: Seq[String], strict: Boolean = false): DataFrame = {
     require(features.schema(tsCol).dataType ==
+      org.apache.spark.sql.types.LongType &&
+      queries.schema(tsCol).dataType ==
       org.apache.spark.sql.types.LongType,
-      "native as-of join requires a LongType ts column (integer ns/us)")
+      "native as-of join requires LongType ts columns (integer ns/us) on BOTH sides")
+    // the exec reads right-side fields with the LEFT side's data types —
+    // a silent cross-side dtype mismatch would read wrong bytes from the
+    // UnsafeRow, not error
+    require(queries.schema(entityCol).dataType ==
+      features.schema(entityCol).dataType,
+      s"entity dtype mismatch: queries ${queries.schema(entityCol).dataType} " +
+        s"vs features ${features.schema(entityCol).dataType}")
     val spark = queries.sparkSession
     install(spark)
     val lp = queries.queryExecution.analyzed

@@ -70,12 +70,8 @@ object Summaries {
   /** Segment assignment for `--segments`-style summaries
     * (runner/main.cpp:734-767): seg_start = greatest boundary <= ts, with
     * everything before the first boundary in a segment starting at 0. */
-  def withSegment(df: DataFrame, tsCol: String, boundaries: Seq[Long]): DataFrame = {
-    val segExpr = boundaries.sorted.foldLeft(lit(0L)) { (acc, b) =>
-      when(col(tsCol).cast("long") >= b, lit(b)).otherwise(acc)
-    }
-    df.withColumn("seg_start", segExpr)
-  }
+  def withSegment(df: DataFrame, tsCol: String, boundaries: Seq[Long]): DataFrame =
+    graft.operators.Windows.segment(df, tsCol, boundaries) // one definition
 
   /** All nine reducers over a scalar value column, one output row per group,
     * one shuffle. Median and mode need per-(group, value) pre-aggregation —
@@ -98,6 +94,7 @@ object Summaries {
 
     // basic + moment reducers: one groupBy
     val aggs = scala.collection.mutable.Buffer.empty[Column]
+    var addedMoments = false
     types.foreach {
       case SummaryType.Count => aggs += count(lit(1)).as("count")
       case SummaryType.Min   => aggs += min(v).as("min")
@@ -105,7 +102,8 @@ object Summaries {
       case SummaryType.Sum   => aggs += sum(v).as("sum")
       case SummaryType.Mean  => aggs += (sum(v * col("w")) / sum(col("w"))).as("mean")
       case SummaryType.Variance | SummaryType.Sd =>
-        if (!aggs.exists(_.toString.contains("__ev2"))) {
+        if (!addedMoments) { // Variance and Sd share the two moments
+          addedMoments = true
           aggs += (sum(v * v * col("w")) / sum(col("w"))).as("__ev2")
           aggs += (sum(v * col("w")) / sum(col("w"))).as("__ev")
         }
@@ -114,10 +112,13 @@ object Summaries {
     if (aggs.isEmpty) aggs += count(lit(1)).as("__n")
     var out = spanned.groupBy(gs: _*).agg(aggs.head, aggs.tail.toSeq: _*)
       .drop("__n")
+    // clamp at 0: E[x^2]-E[x]^2 cancels catastrophically for large means
+    // with tiny spread and can land a hair NEGATIVE -> sd would be NaN
+    val rawVar = col("__ev2") - col("__ev") * col("__ev")
     if (types.contains(SummaryType.Variance))
-      out = out.withColumn("variance", col("__ev2") - col("__ev") * col("__ev"))
+      out = out.withColumn("variance", greatest(lit(0.0), rawVar))
     if (types.contains(SummaryType.Sd))
-      out = out.withColumn("sd", sqrt(col("__ev2") - col("__ev") * col("__ev")))
+      out = out.withColumn("sd", sqrt(greatest(lit(0.0), rawVar)))
     out = out.drop("__ev2", "__ev")
 
     if (needMedianMode) {
@@ -140,11 +141,21 @@ object Summaries {
         val mode = byValue
           .withColumn("__rn", row_number().over(wMode)).where(col("__rn") === 1)
           .select(gs :+ col("__val").as("mode"): _*)
-        mm = if (mm == null) mode else mm.join(mode, groupCols)
+        mm = if (mm == null) mode else nullSafeEquiJoin(mm, mode, groupCols)
       }
-      out = out.join(mm, groupCols)
+      out = nullSafeEquiJoin(out, mm, groupCols)
     }
     out
+  }
+
+  /** Inner equi-join that MATCHES null keys (using-columns joins compare
+    * with EqualTo, silently dropping null-keyed groups — the result-set
+    * cardinality would depend on which summary types were requested). */
+  private def nullSafeEquiJoin(a: DataFrame, b: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val bb = keys.foldLeft(b)((df, k) => df.withColumnRenamed(k, s"__r_$k"))
+    val cond = keys.map(k => col(k) <=> col(s"__r_$k")).reduce(_ && _)
+    a.join(bb, cond).drop(keys.map(k => s"__r_$k"): _*)
   }
 
   /** Skew-resistant two-stage variant of [[summarizeScalar]] for hot
@@ -165,8 +176,15 @@ object Summaries {
     require(!types.contains(SummaryType.Median) && !types.contains(SummaryType.Mode),
       "median/mode pre-aggregate by value; use summarizeScalar")
     val v = col(valueCol)
+    // DETERMINISTIC salt: spark_partition_id/monotonically_increasing_id
+    // are nondeterministic, and a stage retry after partial shuffle fetch
+    // can re-salt recomputed rows differently (the SPARK-23207 class of
+    // double-count/loss). Hash of the full row content is retry-stable;
+    // the one shape it cannot split is a hot key whose rows are all
+    // byte-identical (no deterministic function can).
     val stage1 = spanned
-      .withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+      .withColumn("__salt",
+        pmod(hash(spanned.columns.map(col): _*), lit(salts)))
       .groupBy((groupCols.map(col) :+ col("__salt")): _*)
       .agg(
         count(lit(1)).as("__n"),
@@ -180,7 +198,7 @@ object Summaries {
         min(col("__min")).as("min"), max(col("__max")).as("max"),
         sum(col("__sum")).as("sum"),
         (sum(col("__swv")) / sum(col("__sw"))).as("mean"),
-        (sum(col("__swv2")) / sum(col("__sw")) -
+        greatest(lit(0.0), sum(col("__swv2")) / sum(col("__sw")) -
           pow(sum(col("__swv")) / sum(col("__sw")), 2)).as("variance"))
       .withColumn("sd", sqrt(col("variance")))
     val keep = groupCols ++ types.map(_.name)
@@ -194,6 +212,7 @@ object Summaries {
       wide: DataFrame,
       groupCols: Seq[String],
       types: Seq[SummaryType]): DataFrame = {
+    require(types.nonEmpty, "toSummaryRows needs at least one summary type")
     val pieces = types.map { t =>
       wide.select(groupCols.map(col) ++ Seq(
         lit(t.name).as("summary_name"),

@@ -127,6 +127,33 @@ class AsOfSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2)
   }
 
+  test("native as-of handles NULL entity keys like the window rewrite (no NPE)") {
+    val fs = Seq((Some("d"), 5L, 1.5), (None, 3L, 9.0), (None, 7L, 8.0))
+      .toDF("doc_id", "ts", "fv")
+    val qs = Seq((Some("d"), 6L), (None, 4L), (None, 10L), (Some("e"), 2L))
+      .toDF("doc_id", "ts")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"ts", $"fv", $"matched_ts").collect()
+        .map(r => (Option(r.get(0)), r.getLong(1)) ->
+          (Option(r.get(2)), Option(r.get(3)))).toMap
+    val win = key(AsOf.join(qs, fs, "doc_id", "ts", Seq("fv")))
+    val nat = key(graft.plans.AsOfNative.join(qs, fs, "doc_id", "ts", Seq("fv")))
+    assert(nat == win)
+    // null entities form their own timeline (the window groups them)
+    assert(win((None, 4L)) == (Some(9.0), Some(3L)))
+    assert(win((None, 10L)) == (Some(8.0), Some(7L)))
+    assert(win((Some("e"), 2L)) == (None, None))
+  }
+
+  test("native as-of fails fast on cross-side entity dtype mismatch") {
+    val fs = Seq((1L, 5L, 1.5)).toDF("doc_id", "ts", "fv")
+    val qs = Seq((1, 6L)).toDF("doc_id", "ts") // Int vs Long entity
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.AsOfNative.join(qs, fs, "doc_id", "ts", Seq("fv"))
+    }
+    assert(e.getMessage.contains("entity dtype mismatch"))
+  }
+
   test("query columns and row count are preserved (one row per query)") {
     val fs = Seq(("d", 5L, 1.0), ("d", 5L, 1.0)).toDF("doc_id", "ts", "fv")
     val qs = Seq(("d", 6L, "x"), ("d", 6L, "y"), ("e", 1L, "z"))

@@ -95,6 +95,35 @@ class ScaleShapeSpec extends AnyFunSuite {
     } finally spark.conf.unset(Checkpointing.ConfKey)
   }
 
+  test("summarize with inputEnds: single-feature docs span to the input end") {
+    // the reference rule: a final durationless feature extends to the END
+    // OF THE INPUT; without inputEnds its span is 0 and a one-feature doc
+    // means to null
+    import graft.engine.{Engine, TransformSpecs}
+    val specs = TransformSpecs.parseJson(
+      """[{"id": "m", "plugin": "graft:energy",
+        |  "output": "detectionfunction", "step_size": 8,
+        |  "block_size": 16, "window_type": "rectangular",
+        |  "summary_type": "mean"}]""".stripMargin)
+    // 16 tokens -> exactly ONE frame
+    val seqs = Seq(("solo", (1 to 16).toArray, 16, "s"))
+      .toDF("doc_id", "tokens", "n_tok", "source")
+    val features = Engine.run(seqs, specs)
+    val without = Engine.summarize(features, specs)
+      .select($"values").head().getSeq[Double](0)
+    assert(without.head.isNaN || without.head == 0.0 ||
+      without == null || without.headOption.isEmpty ||
+      java.lang.Double.isNaN(without.head),
+      s"without inputEnds the single span is 0 -> degenerate mean: $without")
+    val ie = Seq(("solo", "m", 16000000L)).toDF(
+      "doc_id", "transform_id", "input_end_ns")
+    val mean = Engine.summarize(features, specs, inputEnds = Some(ie))
+      .select($"values").head().getSeq[Double](0).head
+    val expect = (1 to 16).map(x => x * x).sum / 16.0
+    assert(math.abs(mean - expect) < 1e-9,
+      s"single feature spans to input end: mean=$mean expect=$expect")
+  }
+
   test("rebucketTs: integral period is int64-exact; non-integral rounds to grid") {
     // integral period (1e6 Hz -> 10 Hz = 1e5 ticks): the double form put
     // the measured value one ulp under the grid and truncated to ...199999
