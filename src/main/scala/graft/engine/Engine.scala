@@ -105,8 +105,11 @@ object Engine {
     else spanned0.withColumn("seg_start", lit(0L))
 
     val groupCols = Seq("doc_id", "transform_id", "seg_start")
+    // Aggregate ONLY the requested reducers: a mean/count request must
+    // not pay the median/mode value-map aggregator's state + merges.
     val wide = VectorSummaries.summarizeVector(
-      spanned.where(size(col("values")) > 0), groupCols, "values")
+      spanned.where(size(col("values")) > 0), groupCols, "values",
+      types = byType.keySet)
       .join(
         spanned.groupBy(groupCols.map(col): _*)
           .agg(max(col("w_end")).as("seg_end")),

@@ -47,11 +47,37 @@ object Main {
       csv: CsvSink.Options = CsvSink.Options(),
       checkpointBuckets: Int = 0,
       list: Boolean = false,
-      skeleton: Option[String] = None)
+      skeleton: Option[String] = None,
+      help: Boolean = false)
+
+  /** Usage text (the reference's --help, runner/main.cpp:119-234). */
+  val usage: String =
+    """graft.engine.Main — Spark-native batch feature extraction
+      |
+      |usage: spark-submit --class graft.engine.Main <jar>
+      |  --input PATH [--recursive] [--manifest PATH]
+      |  --transforms FILE[.n3|.ttl|.xml|.json]   (repeatable)
+      |  [--default-transform PLUGIN[:OUTPUT]]
+      |  --writer csv|jams|rdf|midi|xml|parquet --output PATH
+      |  [--summaries s1,s2] [--summary-only]
+      |  [--segments a,b,...] [--segments-from FILE]
+      |  [--normalize] [--multiplex]
+      |  [--one-file] [--force] [--append] [--omit-filename]
+      |  [--fill-ends] [--end-times] [--sample-timing]
+      |  [--digits N] [--separator C]
+      |  [--checkpoint-buckets N]
+      |  [--list] [--skeleton PLUGIN] [--help]
+      |""".stripMargin
 
   def parseArgs(args: Seq[String]): Config = {
+    if (args.isEmpty)
+      // reference fidelity (tests/test-helpfulflags): bare invocation is
+      // an ERROR that points at --help, not a silent default run
+      throw new IllegalArgumentException(
+        "no arguments given; use --help for help")
     def loop(rest: List[String], c: Config): Config = rest match {
       case Nil => c
+      case "--help" :: _ => c.copy(list = false, skeleton = None, help = true)
       case "--input" :: v :: t => loop(t, c.copy(input = v))
       case "--recursive" :: t => loop(t, c.copy(recursive = true))
       case "--manifest" :: v :: t => loop(t, c.copy(manifest = Some(v)))
@@ -96,7 +122,11 @@ object Main {
 
   def loadSpecs(c: Config): Seq[graft.model.TransformSpec] = {
     val fromFiles = c.transformFiles.flatMap { f =>
-      val text = Files.readString(Paths.get(f))
+      // lenient decode (malformed bytes -> U+FFFD), NOT Files.readString:
+      // binary garbage must reach the transform parsers and get their
+      // diagnostics, not die in the charset decoder
+      val text = new String(Files.readAllBytes(Paths.get(f)),
+        java.nio.charset.StandardCharsets.UTF_8)
       // dispatch on extension; extensionless files follow the reference's
       // parse order — try RDF first, then XML, then (ours) JSON
       // (runner/FeatureExtractionManager.cpp:482-605). startsWith
@@ -105,9 +135,23 @@ object Main {
       if (f.endsWith(".n3") || f.endsWith(".ttl")) TransformSpecs.parseN3(text)
       else if (f.endsWith(".xml")) Seq(TransformSpecs.parseXml(text))
       else if (f.endsWith(".json")) TransformSpecs.parseJson(text)
-      else scala.util.Try(TransformSpecs.parseN3(text))
-        .orElse(scala.util.Try(Seq(TransformSpecs.parseXml(text))))
-        .getOrElse(TransformSpecs.parseJson(text))
+      else (scala.util.Try(TransformSpecs.parseN3(text)),
+          scala.util.Try(Seq(TransformSpecs.parseXml(text))),
+          scala.util.Try(TransformSpecs.parseJson(text))) match {
+        case (scala.util.Success(s), _, _) => s
+        case (_, scala.util.Success(s), _) => s
+        case (_, _, scala.util.Success(s)) => s
+        case (scala.util.Failure(en3), scala.util.Failure(exml),
+            scala.util.Failure(ejson)) =>
+          // garbage input: report EVERY parser's diagnosis, like the
+          // reference (tests/test-parse-errors/expected/garbage.dat.txt
+          // pins both the RDF and XML reports)
+          throw new IllegalArgumentException(
+            s"$f is not a recognizable transform file:\n" +
+              s"  RDF attempt: ${en3.getMessage}\n" +
+              s"  XML attempt: ${exml.getMessage}\n" +
+              s"  JSON attempt: ${ejson.getMessage}")
+      }
     }
     val fromDefault = c.defaultTransform.map { d =>
       // -d plugin[:output] — skeleton transform (runner/main.cpp:704-719)
@@ -130,10 +174,16 @@ object Main {
 
   /** Run with an externally provided session (testable). */
   def run(spark: SparkSession, c: Config): Unit = {
+    if (c.help) { println(usage); return }
     if (c.list) { Engine.list.foreach(println); return }
     c.skeleton.foreach { p => println(TransformSpecs.skeleton(p)); return }
     require(c.input.nonEmpty, "--input required")
     require(c.output.nonEmpty, "--output required")
+    // compile transforms BEFORE touching the input (reference lifecycle:
+    // transform parse errors and "no transforms given" precede source
+    // opening — a missing input path must not mask a transform mistake)
+    val specs = loadSpecs(c)
+    require(specs.nonEmpty, "no transforms given (--transforms/--default-transform)")
 
     var seqs =
       if (c.recursive) Tables.sequencesRecursive(spark, c.input)
@@ -169,8 +219,6 @@ object Main {
         .localCheckpoint(true)
     }
 
-    val specs = loadSpecs(c)
-    require(specs.nonEmpty, "no transforms given (--transforms/--default-transform)")
     var features = Engine.run(seqs, specs)
     if (c.normalize) {
       // peak normalisation (reference -n): scale each (doc, transform)'s
@@ -251,7 +299,13 @@ object Main {
   }
 
   def main(args: Array[String]): Unit = {
-    val c = parseArgs(args.toSeq)
+    val c =
+      try parseArgs(args.toSeq)
+      catch { case e: IllegalArgumentException =>
+        System.err.println(s"ERROR: ${e.getMessage}")
+        sys.exit(2)
+      }
+    if (c.help) { println(usage); return } // no session needed
     val spark = SparkSession.builder()
       .appName("graft-engine")
       .config("spark.sql.session.timeZone", "UTC")

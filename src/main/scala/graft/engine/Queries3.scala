@@ -231,7 +231,8 @@ object Queries3 {
   private def lshPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingDupPairs(
       t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
-      "vec_id", "embedding", dim = 64, nPlanes = 8, threshold = 0.35)
+      "vec_id", "embedding", dim = 64, nPlanes = 8, threshold = 0.35,
+      bands = 2, maxBucket = 1000)
 
   /** Duplicate clusters over the LSH pair graph: connected components,
     * min-reachable-id label — the scale-path twin of q35. */
@@ -317,16 +318,43 @@ object Queries3 {
                FROM v JOIN sigb USING (vec_id))"""
 
   /** DuckDB CTE for the unrounded-cosine LSH pair list — verbatim
-    * Dedup.embeddingDupPairs(dim=64, nPlanes=8, threshold=0.35). */
+    * Dedup.embeddingDupPairs(dim=64, nPlanes=8, threshold=0.35, bands=2,
+    * maxBucket=1000): band b's 8-bit signature uses global planes
+    * [8b, 8b+8) of the same exact-int64 family (p // 8 = band,
+    * p % 8 = bit), candidates are any-band bucket matches, and
+    * degenerate (band, bucket) groups over 1000 members are DROPPED —
+    * the engine's skew cap, which the oracle must model (the q25
+    * lesson: invisible at sf0.01, divergent at sf0.1). */
   private val lshPairsCte =
-    s"""$sigCte,
+    """v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       planes AS (
+         SELECT p, list_transform(
+           list_transform(range(64), j ->
+             ((((p*64+j+1)*(p*64+j+1) % 1000003) * 2654435761
+               + 40503*(p*64+j+1) + 1299721) % 1000003)),
+           t -> (((t*t % 1000003) * 2654435761
+                  + 40503*t + 1299721) % 1000003) / 500001.5 - 1.0) AS w
+         FROM range(16) t(p)),
+       sigb AS (
+         SELECT v.vec_id, p // 8 AS band,
+           CAST(sum(CASE WHEN list_dot_product(v.emb, planes.w) >= 0
+                    THEN 1 << (p % 8) ELSE 0 END) AS BIGINT) AS bucket
+         FROM v, planes GROUP BY v.vec_id, p // 8),
+       capped AS (
+         SELECT vec_id, band, bucket FROM (
+           SELECT vec_id, band, bucket,
+             count(*) OVER (PARTITION BY band, bucket) AS bn
+           FROM sigb) WHERE bn <= 1000),
        p AS (
-         SELECT a.vec_id AS id_a, b.vec_id AS id_b
-         FROM sig a JOIN sig b
-           ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         WHERE list_dot_product(a.emb, b.emb) /
-           (sqrt(list_dot_product(a.emb, a.emb)) *
-            greatest(sqrt(list_dot_product(b.emb, b.emb)), 1e-12)) >= 0.35),
+         SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM capped a JOIN capped b
+           ON a.band = b.band AND a.bucket = b.bucket
+             AND a.vec_id < b.vec_id
+         JOIN v va ON va.vec_id = a.vec_id
+         JOIN v vb ON vb.vec_id = b.vec_id
+         WHERE list_dot_product(va.emb, vb.emb) /
+           (sqrt(list_dot_product(va.emb, va.emb)) *
+            greatest(sqrt(list_dot_product(vb.emb, vb.emb)), 1e-12)) >= 0.35),
        e AS (SELECT id_a AS a, id_b AS b FROM p
              UNION SELECT id_b, id_a FROM p),
        reach(node, r) AS (

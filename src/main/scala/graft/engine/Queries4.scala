@@ -242,13 +242,22 @@ object Queries4 {
          FROM f
          WHERE frame * 8000000 >= 16000000 AND frame * 8000000 < 64000000
          ORDER BY 1, 2""",
+    // The engine stores feature values as float32 (Extractors value
+    // storage mirrors the reference's 32-bit feature type, SURVEY
+    // §1.3), so the oracle must model the double→float32→double trip:
+    // CAST(... AS REAL)::DOUBLE before the 6-digit round. Rectangular
+    // tapers (q30/q42) skip this because k/16 is float32-exact;
+    // hanning coefficients are irrational, so skipping it red-flags
+    // the hash. ORACLE CONVENTION: any gate whose values are not
+    // exactly representable in float32 needs this width modeling.
     "q43_taper_hanning" ->
       s"""WITH $framesCte,
          w AS (SELECT $hannSql::DOUBLE[] AS cf)
          SELECT doc_id, frame * 8000000 AS ts,
-                round(CAST(list_sum(list_transform(range(16), i ->
+                round(CAST(CAST(list_sum(list_transform(range(16), i ->
                   (toks[frame*8+i+1] * cf[i+1]) *
-                  (toks[frame*8+i+1] * cf[i+1]))) AS DOUBLE) / 16.0,
+                  (toks[frame*8+i+1] * cf[i+1]))) AS DOUBLE) / 16.0
+                  AS REAL)::DOUBLE,
                   6) AS energy
          FROM f, w ORDER BY 1, 2""",
     "q44_manifest" ->

@@ -1,0 +1,92 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+/** Gate queries 51-52: the REAL multimodal codecs (round-3 item — the
+  * round-2 multimodal gate q24 exercised only the metadata/stub path).
+  * Each gate synthesizes true container bytes (binary PPM / RIFF WAV)
+  * from a deterministic per-doc rule, pushes them through the batched
+  * mapPartitions decode, and emits decoded dimensions + content
+  * checksums. The DuckDB oracle recomputes the expected decode results
+  * from the same rule WITHOUT touching bytes — any header-grammar or
+  * offset bug in the parser shifts dimensions or checksums and reds the
+  * gate. Both pipelines are map-only (no exchange): at 10^12 rows the
+  * decode stage scales embarrassingly, which is the point of the
+  * batched-per-partition shape. */
+object Queries5 {
+
+  private def ids(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/documents.parquet")
+      .where(col("doc_id") < 200)
+      .select(col("doc_id").cast("long").as("id"))
+
+  // --------------------------------------------------------------- q51
+  /** Binary-PPM round trip: encode real P6 bytes (header grammar
+    * included) per doc, decode with the REAL parser, emit dims + pixel
+    * checksum. */
+  def q51PpmDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = ids(s, dir).as[Long].map { id =>
+      val w = (id % 7 + 1).toInt
+      val h = (id % 5 + 1).toInt
+      val px = Array.tabulate(w * h * 3)(i => ((id * 3 + i * 7) % 256).toByte)
+      Multimodal.MediaRow(id, "image", Multimodal.encodePpm(w, h, px), w, h)
+    }
+    Multimodal.decodePpm(media)
+      .map(p => (p.id, p.width, p.height, p.pixels.length,
+        p.pixels.map(b => (b & 0xff).toLong).sum))
+      .toDF("doc_id", "width", "height", "n_pixels", "pix_sum")
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------- q52
+  /** 16-bit PCM WAV round trip: encode a real RIFF container per doc,
+    * decode with the REAL chunk walker, emit format fields + sample
+    * count + sample sum. */
+  def q52WavDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = ids(s, dir).as[Long].map { id =>
+      val n = (id % 50 + 10).toInt
+      val samples = Array.tabulate(n)(i =>
+        ((id * 31 + i * 17) % 65536 - 32768).toShort)
+      Multimodal.MediaRow(id, "audio",
+        Multimodal.encodeWavPcm16(8000, 1, samples), 0, 0)
+    }
+    Multimodal.decodeWav(media)
+      .map(a => (a.id, a.channels, a.sample_rate, a.bits_per_sample,
+        a.samples.length, a.samples.map(_.toLong).sum))
+      .toDF("doc_id", "channels", "sample_rate", "bits_per_sample",
+        "n_samples", "sample_sum")
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------- wiring
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_ppm_decode" -> q51PpmDecode,
+    "q52_wav_decode" -> q52WavDecode)
+
+  val oracle: Map[String, String] = Map(
+    "q51_ppm_decode" ->
+      """SELECT doc_id,
+                CAST((doc_id % 7) + 1 AS INT) AS width,
+                CAST((doc_id % 5) + 1 AS INT) AS height,
+                CAST(((doc_id % 7) + 1) * ((doc_id % 5) + 1) * 3 AS INT)
+                  AS n_pixels,
+                CAST(list_sum(list_transform(
+                  range(((doc_id % 7) + 1) * ((doc_id % 5) + 1) * 3),
+                  i -> (doc_id * 3 + i * 7) % 256)) AS BIGINT) AS pix_sum
+         FROM documents WHERE doc_id < 200 ORDER BY doc_id""",
+    "q52_wav_decode" ->
+      """SELECT doc_id,
+                CAST(1 AS INT) AS channels,
+                CAST(8000 AS INT) AS sample_rate,
+                CAST(16 AS INT) AS bits_per_sample,
+                CAST((doc_id % 50) + 10 AS INT) AS n_samples,
+                CAST(list_sum(list_transform(range((doc_id % 50) + 10),
+                  i -> (doc_id * 31 + i * 17) % 65536 - 32768)) AS BIGINT)
+                  AS sample_sum
+         FROM documents WHERE doc_id < 200 ORDER BY doc_id""")
+}

@@ -31,10 +31,21 @@ object TransformSpecs {
     * <parameter name= value=/>. The id attribute is the plugin id; an
     * optional output attribute selects the output (default: first). */
   def parseXml(xml: String): TransformSpec = {
-    val doc = DocumentBuilderFactory.newInstance().newDocumentBuilder()
-      .parse(new ByteArrayInputStream(xml.getBytes("UTF-8")))
+    // Error-message fidelity (reference tests/test-parse-errors/expected/
+    // *.xml.txt): malformed XML reports "XML parser reported: …"; valid
+    // XML whose root is not <transform> reports "valid XML but defines
+    // no transform".
+    val doc =
+      try DocumentBuilderFactory.newInstance().newDocumentBuilder()
+        .parse(new ByteArrayInputStream(xml.getBytes("UTF-8")))
+      catch { case e: org.xml.sax.SAXException =>
+        throw new IllegalArgumentException(
+          s"XML parser reported: ${e.getMessage}", e)
+      }
     val el = doc.getDocumentElement
-    require(el.getTagName == "transform", s"expected <transform>, got <${el.getTagName}>")
+    require(el.getTagName == "transform",
+      s"valid XML but defines no transform (root <${el.getTagName}>, " +
+        "expected <transform>)")
     def attr(name: String, default: String = ""): String = {
       val v = el.getAttribute(name); if (v == null || v.isEmpty) default else v
     }
@@ -70,10 +81,18 @@ object TransformSpecs {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     implicit val fmt: Formats = DefaultFormats
-    val arr = JsonMethods.parse(json) match {
+    val parsed =
+      try JsonMethods.parse(json)
+      catch { case e: Exception =>
+        throw new IllegalArgumentException(
+          s"JSON parser reported: ${e.getMessage}", e)
+      }
+    val arr = parsed match {
       case JArray(xs) => xs
       case obj: JObject => List(obj)
-      case other => throw new IllegalArgumentException(s"bad transform json: $other")
+      case other => throw new IllegalArgumentException(
+        s"valid JSON but defines no transforms (expected an object or " +
+          s"array of transform objects, got $other)")
     }
     arr.zipWithIndex.map { case (j, i) =>
       def str(k: String, d: String = ""): String =
@@ -117,6 +136,12 @@ object TransformSpecs {
     * named via URI strip `…_param_`. */
   def parseN3(text: String): Seq[TransformSpec] = {
     val stmts = n3Statements(n3StripComments(text))
+    // reference error fidelity (tests/test-parse-errors): an empty or
+    // statement-free file is a PARSE failure ("RDF parser reported: …"),
+    // distinct from valid RDF that just lacks a Transform subject
+    if (stmts.isEmpty) throw new IllegalArgumentException(
+      "RDF parser reported: no Turtle statements found (empty or " +
+        "unparseable input)")
     val prefixes = scala.collection.mutable.Map.empty[String, String]
     // (subject, pred, rawObject) triples; bnode objects kept verbatim
     val triples = scala.collection.mutable.ListBuffer.empty[(String, String, String)]
@@ -178,7 +203,8 @@ object TransformSpecs {
     val transformSubjects = triples.collect {
       case (s, "a", t) if localName(t) == "Transform" => s }
       .distinct.sorted.toSeq
-    require(transformSubjects.nonEmpty, "no vamp:Transform subject in .n3 file")
+    require(transformSubjects.nonEmpty,
+      "valid RDF but defines no transforms (no subject with `a vamp:Transform`)")
     transformSubjects.map { subj =>
       val pluginTok = objsOf(subj, "vamp:plugin").headOption.getOrElse(
         throw new IllegalArgumentException(s"$subj has no vamp:plugin"))

@@ -267,23 +267,46 @@ object Dedup {
 
   /** Embedding-cosine near-dup pairs via random-hyperplane LSH blocking
     * (sign bits of dot products with `nPlanes` deterministic pseudo-random
-    * hyperplanes), verified with exact cosine >= threshold. */
+    * hyperplanes), verified with exact cosine >= threshold.
+    *
+    * `bands` independent nPlanes-bit signatures are OR'd into the
+    * candidate set (minhash-style banding): a single signature loses any
+    * near-dup pair that disagrees on even ONE sign bit, capping recall
+    * structurally; with N bands a pair is lost only if every band
+    * disagrees somewhere. bands=1 reproduces the single-signature
+    * behavior bit-for-bit (band 0 = the unbanded plane family).
+    *
+    * `maxBucket` drops degenerate (band, bucket) groups — boilerplate or
+    * zero-ish embeddings all landing on one signature would otherwise
+    * make the bucket self-join |bucket|², the exact trap the minhash and
+    * simhash paths already cap. */
   def embeddingDupPairs(
       df: DataFrame,
       idCol: String,
       embCol: String,
       dim: Int,
       nPlanes: Int = 8,
-      threshold: Double = 0.95): DataFrame = {
-    val sig = df.select(col(idCol).as("id"),
+      threshold: Double = 0.95,
+      bands: Int = 1,
+      maxBucket: Int = 1000): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
       transform(col(embCol), x => x.cast("double")).as("v"))
-      .withColumn("bucket", Similarity.hyperplaneSig(col("v"), dim, nPlanes))
       .withColumn("n", Similarity.norm(col("v"))) // once per row, not per pair
-    val a = sig.select(col("bucket"), col("id").as("id_a"),
+    val banded = base.select(col("id"), col("v"), col("n"),
+      posexplode(array((0 until bands).map(bd =>
+        Similarity.hyperplaneSigBand(col("v"), dim, nPlanes, bd, bands)): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    // cap degenerate buckets (see scale note above)
+    val wB = Window.partitionBy(col("band"), col("bucket"))
+    val capped = banded
+      .withColumn("__n", count(lit(1)).over(wB))
+      .where(col("__n") <= maxBucket)
+    val a = capped.select(col("band"), col("bucket"), col("id").as("id_a"),
       col("v").as("v_a"), col("n").as("n_a"))
-    val b = sig.select(col("bucket"), col("id").as("id_b"),
+    val b = capped.select(col("band"), col("bucket"), col("id").as("id_b"),
       col("v").as("v_b"), col("n").as("n_b"))
-    a.join(b, Seq("bucket"))
+    a.join(b, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         Similarity.cosinePre(col("v_a"), col("v_b"),

@@ -71,6 +71,20 @@ object Similarity {
   def hyperplaneSig(v: Column, dim: Int, nPlanes: Int): Column =
     graft.functions.HyperplaneSig.sig(v, planeMatrix(dim, nPlanes))
 
+  /** Band `band`'s signature from a family of `bands` independent
+    * nPlanes-bit signatures: band b uses global planes
+    * [b·nPlanes, (b+1)·nPlanes) of the same exact-int64 family, so
+    * band 0 is bit-identical to [[hyperplaneSig]] and every band is
+    * reproducible in the SQL oracle (plane p of band b has coefficients
+    * mix(mix((b·nPlanes+p)·dim + j + 1))). */
+  def hyperplaneSigBand(v: Column, dim: Int, nPlanes: Int, band: Int,
+      bands: Int): Column = {
+    require(band >= 0 && band < bands, s"band $band out of [0, $bands)")
+    graft.functions.HyperplaneSig.sig(v,
+      planeMatrix(dim, bands * nPlanes)
+        .slice(band * nPlanes, (band + 1) * nPlanes))
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k most similar
     * corpus vectors (excluding itself when ids collide). Queries are
     * broadcast; corpus streams — one map stage + one window top-k. */

@@ -246,4 +246,75 @@ object CsvSink {
       written.sorted.toSeq
     } finally grouped.unpersist()
   }
+
+  /** Large-corpus tier of [[writePerTrack]] (>10^4 output files): files
+    * are written DIRECTLY from executor tasks (foreachPartition + the
+    * Hadoop FileSystem API, so any task-visible FS — local, NFS, HDFS —
+    * works), and neither file contents nor even the file-NAME list ever
+    * materializes on the driver; at 10^7 files the default tier's
+    * toLocalIterator stream and its names-only K9 collect both become
+    * driver bottlenecks. The K9 pre-flight is likewise distributed: each
+    * task probes existence for its own groups and the driver receives at
+    * most ONE conflicting name. Task-retry safe: a re-executed task
+    * rewrites the same files with the same bytes (per-file overwrite is
+    * idempotent). --append is not supported in this tier (distributed
+    * append to shared files is not coordinatable); the default tier
+    * remains the right choice for small outputs (single writer, ordered
+    * name list returned). Returns the file count. */
+  def writePerTrackDistributed(lines: DataFrame, basedir: String,
+      opts: Options): Long = {
+    require(!opts.append,
+      "--append is not supported by the distributed per-track tier")
+    val spark = lines.sparkSession
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val basePath = new org.apache.hadoop.fs.Path(basedir)
+    val baseFs = basePath.getFileSystem(hconf)
+    baseFs.mkdirs(basePath)
+    val base = baseFs.makeQualified(basePath).toString
+    def fileUri(doc: String, tr: String) =
+      s"$base/${doc}_${tr.replace(':', '_')}.csv"
+
+    val grouped = lines
+      .groupBy(col("doc_id"), col("transform_id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("ts"), col("line")))),
+          s => s("line")),
+        "\n").as("content"))
+      .persist()
+    try {
+      if (!opts.force) {
+        // distributed K9: probe per task, return at most one conflict
+        val conflict = grouped.select(col("doc_id"), col("transform_id"))
+          .as[(String, String)]
+          .mapPartitions { it =>
+            val fs = org.apache.hadoop.fs.FileSystem.get(
+              java.net.URI.create(base),
+              new org.apache.hadoop.conf.Configuration())
+            it.filter { case (d, t) =>
+              fs.exists(new org.apache.hadoop.fs.Path(fileUri(d, t)))
+            }.take(1)
+          }.take(1)
+        conflict.headOption.foreach { case (d, t) =>
+          throw new IllegalStateException(
+            s"output ${fileUri(d, t)} exists (use force)")
+        }
+      }
+      grouped.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          java.net.URI.create(base),
+          new org.apache.hadoop.conf.Configuration())
+        fs.setWriteChecksum(false) // no .crc sidecars next to user CSVs
+        rows.foreach { r =>
+          val p = new org.apache.hadoop.fs.Path(
+            fileUri(r.getString(0), r.getString(1)))
+          val out = fs.create(p, true)
+          try out.write((r.getString(2) + "\n").getBytes("UTF-8"))
+          finally out.close()
+        }
+      }
+      grouped.count()
+    } finally { grouped.unpersist(); () }
+  }
 }

@@ -11,8 +11,8 @@ import graft.functions.Scalars
   * velocity (default 100, `:131-135`), and transforms map to channels
   * (≤16, `:108-116`). [[toNotes]] is the distributed projection;
   * [[writeMidPerDoc]] encodes real format-0 .mid files (one per doc,
-  * single-job collect like CsvSink.writePerTrack — the per-file sink is
-  * inherently the small-result path).
+  * streamed to the driver one doc at a time via toLocalIterator, like
+  * CsvSink.writePerTrack).
   */
 object MidiSink {
 
@@ -67,7 +67,11 @@ object MidiSink {
   }
 
   /** Write one `<doc>.mid` per doc under `basedir` from a [[toNotes]]
-    * table. ONE Spark job (grouped collect), driver-side encoding. */
+    * table. Streams the grouped table with toLocalIterator (the
+    * CsvSink.writePerTrack pattern): the driver holds ONE doc's note
+    * list at a time, not the whole corpus — the round-2 cut collected
+    * every doc's notes in a single collect(), the exact all-files
+    * driver peak the CSV sink had just removed. */
   def writeMidPerDoc(notes: DataFrame, basedir: String): Seq[String] = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(basedir))
     val grouped = notes
@@ -75,17 +79,21 @@ object MidiSink {
       .agg(sort_array(collect_list(struct(
         col("ts"), col("duration"), col("channel"),
         col("pitch"), col("velocity")))).as("ns"))
-      .collect()
-    grouped.sortBy(_.getString(0)).map { r =>
-      val doc = r.getString(0)
-      val ns = r.getSeq[org.apache.spark.sql.Row](1).map { n =>
-        (n.getLong(0), Option(n.get(1)).map(_.asInstanceOf[Long]),
-          n.getInt(2), n.getInt(3), n.getInt(4))
+      .persist()
+    try {
+      val written = scala.collection.mutable.ListBuffer.empty[String]
+      grouped.toLocalIterator().forEachRemaining { r =>
+        val doc = r.getString(0)
+        val ns = r.getSeq[org.apache.spark.sql.Row](1).map { n =>
+          (n.getLong(0), Option(n.get(1)).map(_.asInstanceOf[Long]),
+            n.getInt(2), n.getInt(3), n.getInt(4))
+        }
+        val f = java.nio.file.Paths.get(basedir, s"$doc.mid")
+        java.nio.file.Files.write(f, encodeSmf(ns.toSeq))
+        written += f.toString
       }
-      val f = java.nio.file.Paths.get(basedir, s"$doc.mid")
-      java.nio.file.Files.write(f, encodeSmf(ns.toSeq))
-      f.toString
-    }.toSeq
+      written.sorted.toSeq
+    } finally grouped.unpersist()
   }
 
   /** features: (doc_id, transform_id, ts, duration, values, label) ->
@@ -105,15 +113,22 @@ object MidiSink {
     // Round 1 hashed the id mod 16, which collides distinct transforms
     // onto one channel (~p=1/16 per pair) — with real .mid encoding a
     // collision lets one transform's note-off cut the other's note.
-    // The distinct-collect is bounded by the transform count (<= 16 in
-    // the reference; beyond that we wrap like it would have to).
+    // >16 transforms FAILS LOUDLY: silently wrapping i % 16 reintroduces
+    // exactly that collision. The distinct-collect is bounded by the
+    // transform count; the assignment is a broadcast-join lookup (O(1)
+    // expression depth), not a folded when-chain.
     val ids = features.select(col("transform_id").cast("string"))
       .distinct().orderBy("transform_id").collect().map(_.getString(0))
-    val channel = ids.zipWithIndex.foldLeft(lit(-1)) { case (acc, (id, i)) =>
-      when(col("transform_id") === id, lit(i % 16)).otherwise(acc)
-    }.cast("int")
+    require(ids.length <= 16,
+      s"MIDI has 16 channels; got ${ids.length} distinct transforms — " +
+        "split the batch into <= 16 transforms per .mid output")
+    val spark = features.sparkSession
+    val chanTable = spark.createDataFrame(
+      ids.zipWithIndex.toSeq).toDF("__tid", "channel")
     features.where(size(col("values")) >= 1)
-      .select(col("doc_id"), col("transform_id"), channel.as("channel"),
+      .join(broadcast(chanTable),
+        col("transform_id").cast("string") === col("__tid"))
+      .select(col("doc_id"), col("transform_id"), col("channel"),
         col("ts"), col("duration"), pitch.as("pitch"), velocity.as("velocity"))
   }
 }

@@ -11,9 +11,30 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  /** S1: the sequences table (parquet stand-in for the Iceberg table). */
-  def sequences(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+  /** S1: the sequences table.
+    *
+    * BASELINE.json specifies an ICEBERG table of pre-tokenized
+    * sequences; this environment ships no Iceberg runtime jar (offline
+    * resolver), so parquet is the documented stand-in. The approximation
+    * is precise and mechanical to swap (see README "Iceberg stand-in"):
+    *
+    *   - snapshot lineage/rollback  -> engine.Checkpoint manifests
+    *     (per-bucket lineage + counters next to the output)
+    *   - partition pruning          -> parquet partition discovery +
+    *     filter pushdown (plan-asserted in PlanSpec)
+    *   - hidden-partition bucketing -> engine.TableLayout (bucketed
+    *     writes; exchange-free as-of join, plan-asserted)
+    *   - schema evolution           -> Spark parquet mergeSchema
+    *
+    * A catalog-enabled cluster switches with ONE line: pass
+    * `format = "iceberg"` (path = catalog table name) — every other
+    * operator consumes the returned DataFrame unchanged. */
+  def sequences(spark: SparkSession, path: String,
+      format: String = "parquet"): DataFrame =
+    format match {
+      case "parquet" => spark.read.parquet(path)
+      case other => spark.read.format(other).load(path)
+    }
 
   /** S2: recursive directory source — collect every parquet under a tree
     * (the reference's `-r` walk, runner/main.cpp:488-513). */
@@ -36,14 +57,21 @@ object Tables {
     * PURE int64 arithmetic — round(x·f)/f in doubles puts the result one
     * ulp under the grid point and a long cast then truncates to
     * grid−1 (measured: 1704067207200000 → …199999). Non-integral
-    * periods keep the double path. Timestamps must be >= 0. */
+    * periods keep the double path.
+    *
+    * The integral snap uses FLOOR division (x − pmod(x, p)) ∕ p, not
+    * `div`: Spark `div` truncates toward zero, which for NEGATIVE
+    * timestamps silently rounds the other way than both the double path
+    * and the DuckDB `//` oracle (floor) — the divergence ADVICE r2
+    * flagged. Floor-div is sign-correct for all int64 inputs. */
   def rebucketTs(df: DataFrame, tsCol: String, fromRateHz: Double,
       toRateHz: Double): DataFrame = {
     val period = fromRateHz / toRateHz
     if (period == math.rint(period) && period >= 1) {
       val p = period.toLong
       df.withColumn(tsCol,
-        expr(s"((`$tsCol` + ${p / 2}L) div ${p}L) * ${p}L"))
+        expr(s"((`$tsCol` + ${p / 2}L) - pmod(`$tsCol` + ${p / 2}L, ${p}L)) " +
+          s"div ${p}L * ${p}L"))
     } else {
       // non-integral period: the grid point itself is fractional, so a
       // long result must round — cast-truncation would land one ulp

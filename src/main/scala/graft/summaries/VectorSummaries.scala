@@ -3,6 +3,7 @@ package graft.summaries
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.{col, struct, udaf}
+import graft.model.SummaryType
 
 /** Element-wise (per-bin) summary reducers over `array<float>` values —
   * the reference's grid outputs apply every reducer per bin
@@ -102,7 +103,9 @@ object VectorSummaries {
         mean.toSeq, variance.toSeq, variance.map(math.sqrt).toSeq)
     }
 
-    def bufferEncoder: Encoder[MomentsBuf] = Encoders.kryo[MomentsBuf]
+    // Product (struct) encoder keeps spilled/shuffled partial buffers
+    // columnar UnsafeRows instead of opaque Kryo blobs.
+    def bufferEncoder: Encoder[MomentsBuf] = Encoders.product[MomentsBuf]
     def outputEncoder: Encoder[MomentsOut] = Encoders.product[MomentsOut]
   }
 
@@ -174,25 +177,57 @@ object VectorSummaries {
     def outputEncoder: Encoder[MedianModeOut] = Encoders.product[MedianModeOut]
   }
 
+  /** Summary types served by the cheap moments aggregator; the rest
+    * (median/mode) need the per-bin value→span map aggregator. */
+  private val momentTypes: Set[SummaryType] = Set(
+    SummaryType.Count, SummaryType.Min, SummaryType.Max, SummaryType.Sum,
+    SummaryType.Mean, SummaryType.Variance, SummaryType.Sd)
+
   /** DataFrame-level API: per-group per-bin summaries in ONE shuffle.
     * `valuesCol` must be array<float>, `wCol` the span from
-    * Summaries.withSpans. Output columns: count, min, max, sum, mean,
-    * variance, sd, median, mode (arrays). */
+    * Summaries.withSpans.
+    *
+    * Only the aggregators needed for `types` run: a mean-only request
+    * never pays the median/mode HashMap state (one value→span map per
+    * bin per group, Kryo-serialized on every partial merge — pure waste
+    * on the common mean/count path at 10^12 rows). Output columns are
+    * the requested subset of: count, min, max, sum, mean, variance, sd,
+    * median, mode (arrays). */
   def summarizeVector(
       spanned: DataFrame,
       groupCols: Seq[String],
       valuesCol: String,
-      wCol: String = "w"): DataFrame = {
-    val moments = udaf(new VectorMomentsAgg, Encoders.product[VW])
-    val medmode = udaf(new VectorMedianModeAgg, Encoders.product[VW])
+      wCol: String = "w",
+      types: Set[SummaryType] = momentTypes ++
+        Set(SummaryType.Median, SummaryType.Mode)): DataFrame = {
+    require(types.nonEmpty, "no summary types requested")
+    val needMoments = types.exists(momentTypes)
+    val needMedMode = types.contains(SummaryType.Median) ||
+      types.contains(SummaryType.Mode)
     val (vc, wc) = (col(valuesCol), col(wCol).cast("double"))
+
+    val aggs = Seq(
+      if (needMoments)
+        Some(udaf(new VectorMomentsAgg, Encoders.product[VW])(vc, wc).as("m"))
+      else None,
+      if (needMedMode)
+        Some(udaf(new VectorMedianModeAgg, Encoders.product[VW])(vc, wc).as("mm"))
+      else None).flatten
+
+    val momentOuts =
+      if (needMoments)
+        Seq("count", "min", "max", "sum", "mean", "variance", "sd")
+          .filter(n => types.exists(_.name == n) || (n == "count")) // count is free
+          .map(n => col(s"m.$n").as(n))
+      else Nil
+    val mmOuts =
+      if (needMedMode)
+        Seq("median", "mode").filter(n => types.exists(_.name == n))
+          .map(n => col(s"mm.$n").as(n))
+      else Nil
+
     spanned.groupBy(groupCols.map(col): _*)
-      .agg(moments(vc, wc).as("m"), medmode(vc, wc).as("mm"))
-      .select(groupCols.map(col) ++ Seq(
-        col("m.count").as("count"),
-        col("m.min").as("min"), col("m.max").as("max"),
-        col("m.sum").as("sum"), col("m.mean").as("mean"),
-        col("m.variance").as("variance"), col("m.sd").as("sd"),
-        col("mm.median").as("median"), col("mm.mode").as("mode")): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(groupCols.map(col) ++ momentOuts ++ mmOuts: _*)
   }
 }

@@ -182,4 +182,62 @@ class CheckpointStreamSpec extends AnyFunSuite {
     // empty payload stays empty-but-shaped
     assert(resized(2L).payload.length == 8 || resized(2L).payload.isEmpty)
   }
+
+  test("REAL PPM codec: header grammar, comments, round trip, loud failures") {
+    val px = Array.tabulate(2 * 3 * 3)(i => (i * 11 % 256).toByte)
+    // hand-built header with a comment line and multi-space separators —
+    // the grammar a real P6 file can use
+    val withComment = ("P6\n# a comment\n2  3\n255\n".getBytes("US-ASCII") ++ px)
+    val (w, h, mx, got) = Multimodal.parsePpm(withComment)
+    assert((w, h, mx) == (2, 3, 255))
+    assert(got.toSeq == px.toSeq)
+    // encoder output round-trips through the parser
+    val (w2, h2, _, got2) = Multimodal.parsePpm(Multimodal.encodePpm(2, 3, px))
+    assert((w2, h2) == (2, 3) && got2.toSeq == px.toSeq)
+    // loud failures: bad magic, truncated pixels
+    assertThrows[IllegalArgumentException] {
+      Multimodal.parsePpm("P5\n1 1\n255\n0".getBytes) }
+    assertThrows[IllegalArgumentException] {
+      Multimodal.parsePpm("P6\n4 4\n255\n".getBytes ++ Array[Byte](1, 2, 3)) }
+    // distributed decode over the batched path
+    val media = Seq(Multimodal.MediaRow(7L, "image",
+      Multimodal.encodePpm(2, 3, px), 2, 3)).toDS()
+    val dec = Multimodal.decodePpm(media).collect().head
+    assert(dec.id == 7L && dec.width == 2 && dec.height == 3 &&
+      dec.pixels.toSeq == px.toSeq)
+  }
+
+  test("REAL WAV codec: RIFF walk, unknown chunk skip, round trip, failures") {
+    val samples = Array.tabulate(25)(i => ((i * 2731 - 9000) % 32768).toShort)
+    val wav = Multimodal.encodeWavPcm16(8000, 1, samples)
+    val (ch, rate, bits, got) = Multimodal.parseWavPcm16(wav)
+    assert((ch, rate, bits) == (1, 8000, 16))
+    assert(got.toSeq == samples.toSeq)
+    // an unknown chunk (odd size -> word-aligned skip) between fmt and data
+    val junk = Array[Byte](9, 9, 9) // 3 bytes, needs 1 pad byte
+    val withJunk = java.nio.ByteBuffer
+      .allocate(wav.length + 8 + junk.length + 1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    withJunk.put(wav, 0, 36) // RIFF..fmt chunk end
+    withJunk.put("LIST".getBytes("US-ASCII")).putInt(junk.length)
+      .put(junk).put(0.toByte)
+    withJunk.put(wav, 36, wav.length - 36) // data chunk
+    val arr = withJunk.array()
+    // fix RIFF size field
+    val riffSize = arr.length - 8
+    arr(4) = (riffSize & 0xff).toByte; arr(5) = ((riffSize >> 8) & 0xff).toByte
+    arr(6) = ((riffSize >> 16) & 0xff).toByte; arr(7) = ((riffSize >> 24) & 0xff).toByte
+    val (_, _, _, got2) = Multimodal.parseWavPcm16(arr)
+    assert(got2.toSeq == samples.toSeq, "unknown chunk not skipped cleanly")
+    // loud failures: not RIFF, truncated chunk
+    assertThrows[IllegalArgumentException] {
+      Multimodal.parseWavPcm16("nope".getBytes) }
+    assertThrows[IllegalArgumentException] {
+      Multimodal.parseWavPcm16(java.util.Arrays.copyOfRange(wav, 0, 40)) }
+    // distributed decode
+    val media = Seq(Multimodal.MediaRow(3L, "audio", wav, 0, 0)).toDS()
+    val dec = Multimodal.decodeWav(media).collect().head
+    assert(dec.id == 3L && dec.sample_rate == 8000 &&
+      dec.samples.toSeq == samples.toSeq)
+  }
 }

@@ -42,6 +42,60 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("banded embedding LSH recall >= single-signature recall") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // exact baseline (q33 semantics): all pairs with cosine >= 0.35
+    val v = e.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("n", Similarity.norm(col("v")))
+    val a = v.select(col("vec_id").as("id_a"), col("v").as("v_a"), col("n").as("n_a"))
+    val b = v.select(col("vec_id").as("id_b"), col("v").as("v_b"), col("n").as("n_b"))
+    val exact = a.join(broadcast(b), col("id_a") < col("id_b"))
+      .where(Similarity.cosinePre(col("v_a"), col("v_b"),
+        col("n_a"), col("n_b")) >= 0.35)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def lshPairs(bands: Int): Set[(Long, Long)] =
+      Dedup.embeddingDupPairs(e, "vec_id", "embedding", dim = 64,
+        nPlanes = 8, threshold = 0.35, bands = bands)
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = lshPairs(1)
+    val banded = lshPairs(3)
+    // LSH never invents pairs (exact cosine verify step)
+    assert(single.subsetOf(exact) && banded.subsetOf(exact))
+    // any-band OR can only ADD candidates: banded is a superset and
+    // strictly better recall on this fixture
+    assert(single.subsetOf(banded))
+    val rSingle = single.size.toDouble / exact.size
+    val rBanded = banded.size.toDouble / exact.size
+    assert(rBanded >= rSingle,
+      s"banded recall $rBanded < single-signature $rSingle")
+    assert(rBanded > rSingle,
+      s"banding added no pairs on the fixture (single=$rSingle)")
+  }
+
+  test("embedding LSH caps degenerate buckets (hot-bucket skew)") {
+    // 60 IDENTICAL vectors (one boilerplate bucket in every band) plus
+    // two similar outliers in a normal-size bucket
+    val hot = (1L to 60L).map(i => (i, Seq(1.0f, 1.0f, 1.0f, 1.0f)))
+    val ok = Seq((100L, Seq(-1.0f, 0.9f, -0.8f, 0.7f)),
+      (101L, Seq(-1.0f, 0.9f, -0.8f, 0.7f)))
+    val vecs = (hot ++ ok).toDF("id", "emb")
+    val pairs = Dedup.embeddingDupPairs(vecs, "id", "emb", dim = 4,
+      nPlanes = 4, threshold = 0.99, bands = 2, maxBucket = 50)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // the 60-member bucket exceeds maxBucket=50 in every band -> its
+    // |bucket|^2 = 1770 pairs are dropped; the normal bucket survives
+    assert(pairs == Set((100L, 101L)), s"got ${pairs.size} pairs")
+    // and without the cap the degenerate pairs WOULD appear
+    val uncapped = Dedup.embeddingDupPairs(vecs, "id", "emb", dim = 4,
+      nPlanes = 4, threshold = 0.99, bands = 2, maxBucket = 10000)
+      .count()
+    assert(uncapped == 1770L + 1L)
+  }
+
   test("ANN top-k recall vs brute force is substantial") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))

@@ -137,6 +137,19 @@ class ScaleShapeSpec extends AnyFunSuite {
       Seq(0L, 3L, 5L).toDF("ts"), "ts", 3.0, 2.0)
       .as[Long].collect().sorted
     assert(b.toSeq == Seq(0L, 3L, 5L)) // grid 0, 3.0, 4.5->rounds to 5
+    // NEGATIVE timestamps: floor-division semantics (DuckDB `//`), not
+    // Spark `div` truncation toward zero — ts=-149999 with period 1e5
+    // snaps to -100000 (floor((-149999+50000)/1e5) = -1), where `div`
+    // silently returned 0
+    val c = graft.sources.Tables.rebucketTs(
+      Seq(-151000L, -149999L, -50000L, -49999L).toDF("ts"), "ts",
+      1000000.0, 10.0)
+      .as[Long].collect().sorted
+    // floor((-151000+50000)/1e5) = -2 -> -200000 (div gave -100000);
+    // floor((-149999+50000)/1e5) = -1 -> -100000 (div gave 0);
+    // -50000 and -49999 -> 0
+    assert(c.toSeq == Seq(-200000L, -100000L, 0L, 0L),
+      s"negative-ts floor snap broken: ${c.toSeq}")
   }
 
   test("packGreedy matches under the reliable checkpoint path too") {

