@@ -69,11 +69,20 @@ object StreamOps {
       .groupBy(window(col("ts"), window_, slide), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
 
-  /** Gap-based session assembly: emits a session row when `gapMs` of event
-    * time passes with no event for the user. Event-time timeout +
-    * watermark make the end-of-session flush deterministic (the
-    * getRemainingFeatures flush analog). */
-  def sessionize(events: Dataset[Event], gapMs: Long,
+  /** Exact MICROSECOND event time of a Timestamp (getTime alone is
+    * ms-truncated — the batch operators and the DuckDB oracle work in
+    * epoch micros, so the stream must too or gap comparisons within
+    * 1 ms of the boundary diverge). */
+  def micros(ts: java.sql.Timestamp): Long =
+    ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
+
+  /** Gap-based session assembly: emits a session row when `gapUs`
+    * MICROSECONDS of event time pass with no event for the user —
+    * µs-exact parity with the batch Windows.sessionize / q4 oracle
+    * (StreamOracleSpec pins it). Event-time timeout + watermark make
+    * the end-of-session flush deterministic (the getRemainingFeatures
+    * flush analog); session_start/session_end are epoch micros. */
+  def sessionize(events: Dataset[Event], gapUs: Long,
       watermarkDelay: String = "0 seconds"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events.withWatermark("ts", watermarkDelay)
@@ -88,10 +97,10 @@ object StreamOps {
           } else {
             var closed = List.empty[SessionOut]
             var cur = state.getOption
-            rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
-              val t = e.ts.getTime
+            rows.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
+              val t = micros(e.ts)
               cur match {
-                case Some(s) if t - s.last > gapMs =>
+                case Some(s) if t - s.last > gapUs =>
                   closed ::= SessionOut(user, s.start, s.last, s.n, s.sum)
                   cur = Some(SessionState(t, t, 1, e.value))
                 case Some(s) =>
@@ -103,8 +112,10 @@ object StreamOps {
             }
             cur.foreach { s =>
               state.update(s)
-              // flush when event time passes the gap with no activity
-              state.setTimeoutTimestamp(s.last + gapMs)
+              // flush when event time passes the gap with no activity;
+              // the timeout API is ms — round UP so timers never fire a
+              // microsecond early
+              state.setTimeoutTimestamp((s.last + gapUs + 999) / 1000)
             }
             closed.reverseIterator
           }

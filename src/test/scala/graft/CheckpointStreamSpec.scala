@@ -51,33 +51,41 @@ class CheckpointStreamSpec extends AnyFunSuite {
   test("streaming gap sessionization closes sessions on gap and on flush") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[StreamOps.Event]
-    val q = StreamOps.sessionize(mem.toDS(), gapMs = 1000L)
+    val q = StreamOps.sessionize(mem.toDS(), gapUs = 1000000L) // 1 s gap
       .writeStream.format("memory").queryName("sessions")
       .outputMode("append").start()
-    def ev(u: Long, t: Long, v: Double) =
-      StreamOps.Event(u, new java.sql.Timestamp(t), v)
+    def ev(u: Long, tMs: Long, v: Double) =
+      StreamOps.Event(u, new java.sql.Timestamp(tMs), v)
     // user 1: two sessions separated by a 5s gap, delivered across batches.
     // times start above 0: rows at/below the watermark (initially 0) are
-    // dropped by the stateful operator.
+    // dropped by the stateful operator. Session bounds are epoch MICROS.
     val B = 100000L
     mem.addData(ev(1, B, 1.0), ev(1, B + 500, 2.0))
     q.processAllAvailable()
-    mem.addData(ev(1, B + 6000, 3.0)) // gap > 1000ms -> closes session 1
+    mem.addData(ev(1, B + 6000, 3.0)) // gap > 1s -> closes session 1
     q.processAllAvailable()
     val out = spark.table("sessions").as[StreamOps.SessionOut].collect()
     assert(out.length == 1)
-    assert(out.head.session_start == B && out.head.session_end == B + 500)
+    assert(out.head.session_start == B * 1000 &&
+      out.head.session_end == (B + 500) * 1000)
     assert(out.head.n_events == 2 && out.head.sum_value == 3.0)
     // event-time timeout flush (the getRemainingFeatures analog): advance
     // the watermark past user 1's gap via another user's events
     mem.addData(ev(2, B + 20000, 1.0))
-    q.processAllAvailable() // watermark -> B+20000 at batch end
+    q.processAllAvailable() // watermark -> B+20000 ms at batch end
     mem.addData(ev(2, B + 21000, 1.0))
-    q.processAllAvailable() // timers (B+7000 < B+20000) fire this batch
+    q.processAllAvailable() // timers (B+7s < B+20s) fire this batch
     val out2 = spark.table("sessions").as[StreamOps.SessionOut].collect()
     q.stop()
-    assert(out2.exists(s => s.user_id == 1 && s.session_start == B + 6000 &&
+    assert(out2.exists(s => s.user_id == 1 &&
+      s.session_start == (B + 6000) * 1000 &&
       s.n_events == 1 && s.sum_value == 3.0))
+  }
+
+  test("sub-millisecond event times: micros() is exact, not ms-truncated") {
+    val t = new java.sql.Timestamp(1704067798778L) // ms part .778
+    t.setNanos(778549000) // full fractional second: .778549
+    assert(StreamOps.micros(t) == 1704067798778549L)
   }
 
   test("streaming as-of join carries the latest feature across batches") {

@@ -126,6 +126,26 @@ class CliSpec extends AnyFunSuite {
       Set("doc_0000000001", "doc_0000000002"))
   }
 
+  test("S4 URL source: a file:// URL drives the CLI end-to-end") {
+    // the remote-source row (S4) maps to Hadoop FS URI handling; exercise
+    // the URI path through the real CLI instead of leaving it
+    // documentation-only (round-2 'What's missing' #6). file:// is the
+    // scheme this sandbox can serve; hdfs://, s3a://, etc. ride the same
+    // FileSystem resolution.
+    val tf = tmp("grafttfurl") + "/t.json"
+    Files.writeString(Paths.get(tf),
+      """[{"id": "clicks", "plugin": "graft:clicks"}]""")
+    val out = tmp("graftouturl")
+    Main.run(spark, Main.parseArgs(Seq(
+      "--input", s"file://$inputPath", "--transforms", tf,
+      "--writer", "csv", "--output", out)))
+    assert(Files.list(Paths.get(out)).toArray.map(_.toString)
+      .exists(_.endsWith("doc_0000000001_clicks.csv")))
+    // and the raw Tables.sequences URI read equals the plain-path read
+    assert(Tables.sequences(spark, s"file://$inputPath").count() ==
+      Tables.sequences(spark, inputPath).count())
+  }
+
   test("salted two-stage aggregation equals the one-stage plan") {
     val feats = SequenceGen.featureTimeline(spark, 30, 20)
       .withColumnRenamed("v", "value")

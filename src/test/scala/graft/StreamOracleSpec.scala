@@ -81,6 +81,71 @@ class StreamOracleSpec extends AnyFunSuite {
       .toMap
   }
 
+  // ------------------------------------------------ sessionize vs q4
+
+  /** q4 oracle sessions (DuckDB gap-sessionization SQL exported
+    * verbatim): multiset of (user, start_us, end_us, n, sum_rounded). */
+  private lazy val sessionOracle: Set[(Long, Long, Long, Long, Double)] = {
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/fixtures/q4_sessions_oracle_sf0001.csv"))
+    try {
+      val lines = src.getLines().toList
+      assert(lines.head ==
+        "user_id,session_start,session_end,n_events,sum_value")
+      lines.tail.map { l =>
+        val c = l.split(",", -1)
+        (c(0).toLong, c(1).toLong, c(2).toLong, c(3).toLong, c(4).toDouble)
+      }.toSet
+    } finally src.close()
+  }
+
+  test("streaming sessionize reproduces the q4 DuckDB oracle (gap " +
+      "sessions over the real events fixture, cross-batch state)") {
+    implicit val sc = spark.sqlContext
+    val rows = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+        col("value"))
+      .as[StreamOps.Event]
+      .collect().sortBy(e => StreamOps.micros(e.ts))
+    val maxUs = StreamOps.micros(rows.last.ts)
+    val gap = 1800000000L
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[StreamOps.Event](spark)
+    val query = StreamOps.sessionize(ms.toDS(), gapUs = gap)
+      .writeStream.format("memory").queryName("session_oracle")
+      .outputMode("append").start()
+    try {
+      // three contiguous micro-batches of the time-ordered stream
+      rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { b =>
+        ms.addData(b.toSeq); query.processAllAvailable()
+      }
+      // flush: per-user sentinels far past every session's gap advance
+      // the watermark; the following wave fires the event-time timers
+      def at(us: Long) = {
+        val t = new java.sql.Timestamp(us / 1000)
+        t.setNanos((us % 1000000).toInt * 1000)
+        t
+      }
+      val users = rows.map(_.user_id).distinct
+      ms.addData(users.map(u =>
+        StreamOps.Event(u, at(maxUs + 10 * gap), 0.0)).toSeq)
+      query.processAllAvailable()
+      ms.addData(Seq(StreamOps.Event(users.head, at(maxUs + 20 * gap), 0.0)))
+      query.processAllAvailable()
+    } finally query.stop()
+    val got = spark.table("session_oracle").as[StreamOps.SessionOut]
+      .collect()
+      .filter(_.session_start <= maxUs) // exclude sentinel sessions
+      .map(s => (s.user_id, s.session_start, s.session_end, s.n_events,
+        math.rint(s.sum_value * 1e6) / 1e6))
+      .toSet
+    assert(got.size == sessionOracle.size,
+      s"${got.size} sessions vs oracle ${sessionOracle.size}")
+    val bad = sessionOracle.diff(got)
+    assert(bad.isEmpty, s"${bad.size} oracle sessions missing, " +
+      s"first=${bad.headOption}")
+  }
+
   test("asofStream reproduces the q2 DuckDB oracle under 4 distinct " +
       "micro-batch partitionings of the real events fixture") {
     assert(oracle.size == 798) // every non-purchase event, (user,ts) unique
