@@ -303,7 +303,13 @@ object Bench {
       else {
         val src = scala.io.Source.fromFile(f)
         val txt = try src.mkString finally src.close()
-        """"(q[0-9]+[a-zA-Z0-9_]*)":(-?[0-9.]+)""".r.findAllMatchIn(txt)
+        // the prior is only valid at the SAME scale factor — comparing
+        // an sf0.1 run against an sf0.01 recording would flag every
+        // query as a "noise suspect" when the difference is data size
+        val prevSf = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt)
+          .map(_.group(1))
+        if (!prevSf.contains(sfDir)) Map.empty
+        else """"(q[0-9]+[a-zA-Z0-9_]*)":(-?[0-9.]+)""".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       }
     } catch { case _: Throwable => Map.empty }
@@ -315,7 +321,7 @@ object Bench {
     spark = session(cpus)
     def timeGate(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-        tries: Int): Double = {
+        tries: Int, recordFailure: Boolean): Double = {
       var broke = false
       val ts = (1 to tries).map { _ =>
         time {
@@ -325,10 +331,13 @@ object Bench {
             broke = true; -1L }
         }._1
       }
-      if (broke) { failed += name; -1.0 } else ts.min
+      // recordFailure=false on the suspect RE-measure: the query already
+      // passed and holds a valid time — a transient error in the extra
+      // sample must not publish a green gate as failed
+      if (broke) { if (recordFailure) failed += name; -1.0 } else ts.min
     }
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      results(name) = timeGate(name, fn, 2)
+      results(name) = timeGate(name, fn, 2, recordFailure = true)
     }
     // suspect pass: any query >5x its previous recorded minimum (and
     // >1 s absolute, so sub-second jitter never triggers) gets one more
@@ -339,7 +348,7 @@ object Bench {
       prevTimes.get(name).exists(p => p > 0 && t > 1.0 && t > 5 * p)
     }
     suspects.foreach { case (name, fn) =>
-      val re = timeGate(name, fn, 1)
+      val re = timeGate(name, fn, 1, recordFailure = false)
       if (re >= 0) results(name) = math.min(results(name), re)
     }
     val stillSuspect = suspects.map(_._1).filter { name =>

@@ -63,6 +63,7 @@ object Main {
       |  [--segments a,b,...] [--segments-from FILE]
       |  [--normalize] [--multiplex]
       |  [--one-file] [--force] [--append] [--omit-filename]
+      |  [--distributed-files]   (executor-direct per-track writes, >10^4 files)
       |  [--fill-ends] [--end-times] [--sample-timing]
       |  [--digits N] [--separator C]
       |  [--checkpoint-buckets N]
@@ -103,6 +104,8 @@ object Main {
       case "--append" :: t => loop(t, c.copy(csv = c.csv.copy(append = true)))
       case "--omit-filename" :: t =>
         loop(t, c.copy(csv = c.csv.copy(omitFilename = true)))
+      case "--distributed-files" :: t =>
+        loop(t, c.copy(csv = c.csv.copy(distributedFiles = true)))
       case "--fill-ends" :: t => loop(t, c.copy(csv = c.csv.copy(fillEnds = true)))
       case "--end-times" :: t => loop(t, c.copy(csv = c.csv.copy(endTimes = true)))
       case "--sample-timing" :: t =>
@@ -135,22 +138,29 @@ object Main {
       if (f.endsWith(".n3") || f.endsWith(".ttl")) TransformSpecs.parseN3(text)
       else if (f.endsWith(".xml")) Seq(TransformSpecs.parseXml(text))
       else if (f.endsWith(".json")) TransformSpecs.parseJson(text)
-      else (scala.util.Try(TransformSpecs.parseN3(text)),
-          scala.util.Try(Seq(TransformSpecs.parseXml(text))),
-          scala.util.Try(TransformSpecs.parseJson(text))) match {
-        case (scala.util.Success(s), _, _) => s
-        case (_, scala.util.Success(s), _) => s
-        case (_, _, scala.util.Success(s)) => s
-        case (scala.util.Failure(en3), scala.util.Failure(exml),
-            scala.util.Failure(ejson)) =>
-          // garbage input: report EVERY parser's diagnosis, like the
-          // reference (tests/test-parse-errors/expected/garbage.dat.txt
-          // pins both the RDF and XML reports)
-          throw new IllegalArgumentException(
-            s"$f is not a recognizable transform file:\n" +
-              s"  RDF attempt: ${en3.getMessage}\n" +
-              s"  XML attempt: ${exml.getMessage}\n" +
-              s"  JSON attempt: ${ejson.getMessage}")
+      else {
+        // LAZY chain: each later parser runs only if the earlier ones
+        // failed (a valid .n3 shouldn't pay a DOM + Jackson parse); on
+        // total failure report EVERY parser's diagnosis, like the
+        // reference (the garbage.dat expected file pins both the RDF
+        // and XML reports)
+        scala.util.Try(TransformSpecs.parseN3(text)) match {
+          case scala.util.Success(s) => s
+          case scala.util.Failure(en3) =>
+            scala.util.Try(Seq(TransformSpecs.parseXml(text))) match {
+              case scala.util.Success(s) => s
+              case scala.util.Failure(exml) =>
+                scala.util.Try(TransformSpecs.parseJson(text)) match {
+                  case scala.util.Success(s) => s
+                  case scala.util.Failure(ejson) =>
+                    throw new IllegalArgumentException(
+                      s"$f is not a recognizable transform file:\n" +
+                        s"  RDF attempt: ${en3.getMessage}\n" +
+                        s"  XML attempt: ${exml.getMessage}\n" +
+                        s"  JSON attempt: ${ejson.getMessage}")
+                }
+            }
+        }
       }
     }
     val fromDefault = c.defaultTransform.map { d =>
@@ -258,7 +268,11 @@ object Main {
         val lines = CsvSink.formatFeatures(
           features.withColumn("doc_id", col("doc_id").cast("string")), c.csv)
         if (c.oneFile) CsvSink.writeOneFile(lines, c.output, c.csv)
-        else { CsvSink.writePerTrack(lines, c.output, c.csv); () }
+        else if (c.csv.distributedFiles) {
+          // >10^4-file corpora: executor-direct writes, nothing
+          // (contents OR name list) materializes on the driver
+          CsvSink.writePerTrackDistributed(lines, c.output, c.csv); ()
+        } else { CsvSink.writePerTrack(lines, c.output, c.csv); () }
       case "jams" => JsonSink.writeJsonl(
         features.withColumn("doc_id", col("doc_id").cast("string")), c.output)
       case "rdf" => graft.sinks.RdfSink.writeTurtle(

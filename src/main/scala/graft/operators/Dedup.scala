@@ -279,7 +279,15 @@ object Dedup {
     * `maxBucket` drops degenerate (band, bucket) groups — boilerplate or
     * zero-ish embeddings all landing on one signature would otherwise
     * make the bucket self-join |bucket|², the exact trap the minhash and
-    * simhash paths already cap. */
+    * simhash paths already cap. NOTE the trade (same as those siblings):
+    * members of a dropped bucket are NOT reported as pairs, so a
+    * >maxBucket cluster of near-identical embeddings goes undeduped by
+    * THIS operator. That is deliberate — identical/boilerplate payloads
+    * are [[exact]] dedup's job (hash equality, no quadratic risk), and
+    * the alternative (letting one bucket own |bucket|² work) is how a
+    * 100 TB run dies. Raise `maxBucket` only with a matching oracle
+    * update (the q25/q39 lesson: caps must be modeled or sf0.1
+    * diverges). */
   def embeddingDupPairs(
       df: DataFrame,
       idCol: String,

@@ -37,7 +37,8 @@ object CsvSink {
       digits: Int = 6,
       force: Boolean = false,
       append: Boolean = false,
-      rate: Double = 1000.0) // positions/sec, for sample-timing
+      rate: Double = 1000.0, // positions/sec, for sample-timing
+      distributedFiles: Boolean = false) // per-track tier: executor-direct
 
   /** C `%g` semantics for one double (shared by the UDF and tests).
     * Java's `%.Ng` keeps trailing mantissa zeros ("1.00000e+07") where C
@@ -272,6 +273,26 @@ object CsvSink {
     val baseFs = basePath.getFileSystem(hconf)
     baseFs.mkdirs(basePath)
     val base = baseFs.makeQualified(basePath).toString
+    // ship the DRIVER's Hadoop configuration to the tasks (as a plain
+    // serializable property list — Configuration itself is not
+    // serializable): a fresh Configuration() in the executor would lack
+    // every spark.hadoop.* setting (s3a credentials, HA nameservices)
+    // and break exactly the non-local filesystems this tier exists for
+    val hconfProps: Array[(String, String)] = {
+      val it = hconf.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (it.hasNext) { val e = it.next(); buf += (e.getKey -> e.getValue) }
+      buf.toArray
+    }
+    def taskFs(): org.apache.hadoop.fs.FileSystem = {
+      val c = new org.apache.hadoop.conf.Configuration(false)
+      hconfProps.foreach { case (k, v) => c.set(k, v) }
+      // newInstance, NOT get: we flip setWriteChecksum below, and get()
+      // returns the JVM-cached shared FS — mutating it would silently
+      // disable .crc checksums for every other user in this executor
+      org.apache.hadoop.fs.FileSystem.newInstance(
+        java.net.URI.create(base), c)
+    }
     def fileUri(doc: String, tr: String) =
       s"$base/${doc}_${tr.replace(':', '_')}.csv"
 
@@ -289,12 +310,11 @@ object CsvSink {
         val conflict = grouped.select(col("doc_id"), col("transform_id"))
           .as[(String, String)]
           .mapPartitions { it =>
-            val fs = org.apache.hadoop.fs.FileSystem.get(
-              java.net.URI.create(base),
-              new org.apache.hadoop.conf.Configuration())
-            it.filter { case (d, t) =>
+            val fs = taskFs()
+            try it.filter { case (d, t) =>
               fs.exists(new org.apache.hadoop.fs.Path(fileUri(d, t)))
-            }.take(1)
+            }.take(1).toList.iterator
+            finally fs.close()
           }.take(1)
         conflict.headOption.foreach { case (d, t) =>
           throw new IllegalStateException(
@@ -302,17 +322,15 @@ object CsvSink {
         }
       }
       grouped.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          java.net.URI.create(base),
-          new org.apache.hadoop.conf.Configuration())
+        val fs = taskFs()
         fs.setWriteChecksum(false) // no .crc sidecars next to user CSVs
-        rows.foreach { r =>
+        try rows.foreach { r =>
           val p = new org.apache.hadoop.fs.Path(
             fileUri(r.getString(0), r.getString(1)))
           val out = fs.create(p, true)
           try out.write((r.getString(2) + "\n").getBytes("UTF-8"))
           finally out.close()
-        }
+        } finally fs.close()
       }
       grouped.count()
     } finally { grouped.unpersist(); () }

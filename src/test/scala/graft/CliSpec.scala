@@ -126,6 +126,22 @@ class CliSpec extends AnyFunSuite {
       Set("doc_0000000001", "doc_0000000002"))
   }
 
+  test("--distributed-files routes the csv writer to the executor-direct tier") {
+    val tf = tmp("grafttfdist") + "/t.json"
+    Files.writeString(Paths.get(tf),
+      """[{"id": "clicks", "plugin": "graft:clicks"}]""")
+    val out = tmp("graftoutdist")
+    Main.run(spark, Main.parseArgs(Seq(
+      "--input", inputPath, "--transforms", tf, "--distributed-files",
+      "--writer", "csv", "--output", out, "--force")))
+    val f = Paths.get(s"$out/doc_0000000001_clicks.csv")
+    assert(Files.exists(f))
+    assert(Files.readAllLines(f).size() == 3) // same content as default tier
+    // no .crc sidecars next to the user files
+    assert(!Files.list(Paths.get(out)).toArray.map(_.toString)
+      .exists(_.endsWith(".crc")))
+  }
+
   test("S4 URL source: a file:// URL drives the CLI end-to-end") {
     // the remote-source row (S4) maps to Hadoop FS URI handling; exercise
     // the URI path through the real CLI instead of leaving it
