@@ -29,7 +29,7 @@ object Engine {
 
   val registry: Map[String, FeatureExtractor] =
     Seq(HistogramExtractor, EnergyExtractor, RegionsExtractor, ClicksExtractor,
-      ChangepointsExtractor)
+      ChangepointsExtractor, SpectrumExtractor)
       .map(e => e.name -> e).toMap
 
   /** Enumerate available extractors (the reference's --list,

@@ -121,6 +121,48 @@ object EnergyExtractor extends FeatureExtractor {
   }
 }
 
+/** Per-frame magnitude spectrum (the W3 frequency-domain adaptation:
+  * the reference tapers each frame and FFTs it before FrequencyDomain
+  * plugins see it — PluginInputDomainAdapter + ShiftData, so the
+  * timestamp stays at the BLOCK START; FeatureExtractionManager.cpp:
+  * 294-311). Token analog: real-DFT magnitudes of the tapered frame,
+  * block/2+1 bins, computed by the native FrameSpectrum expression with
+  * the taper folded into plan-time literal coefficient matrices (which
+  * the DuckDB oracle embeds verbatim — gate q53). */
+object SpectrumExtractor extends FeatureExtractor {
+  val name = "graft:spectrum"
+  def outputs: Seq[OutputDescriptor] = Seq(
+    OutputDescriptor("magnitude", "Per-frame DFT magnitude spectrum",
+      OutputShape.GridOSS, 9)) // block/2+1 at the preferred block of 16
+
+  /** Taper-folded DFT coefficient matrices — shared with the oracle
+    * builder so both engines use the IDENTICAL double literals. */
+  def dftCoefficients(shape: graft.model.WindowShape, block: Int)
+      : (Seq[Seq[Double]], Seq[Seq[Double]]) = {
+    val w = Framing.taperCoefficients(shape, block)
+    val bins = block / 2 + 1
+    val cre = Seq.tabulate(bins, block)((k, j) =>
+      w(j) * math.cos(2.0 * math.Pi * k * j / block))
+    val cim = Seq.tabulate(bins, block)((k, j) =>
+      -w(j) * math.sin(2.0 * math.Pi * k * j / block))
+    (cre, cim)
+  }
+
+  def extract(seqs: DataFrame, spec: TransformSpec): DataFrame = {
+    val (step, block, rate) = resolve(spec)
+    val (cre, cim) = dftCoefficients(spec.windowType, block)
+    seqs
+      .withColumn("spec",
+        graft.functions.FrameSpectrum.spectrum(col("tokens"), step, block, cre, cim))
+      .select(col("doc_id"), posexplode(col("spec")))
+      .select(col("doc_id"), lit("magnitude").as("output"),
+        posToNs(col("pos") * step, rate).as("ts"), // ShiftData: block start
+        lit(null).cast("long").as("duration"),
+        col("col").as("values"),
+        lit("").as("label"))
+  }
+}
+
 /** Maximal runs of identical tokens as (ts, duration, value, label)
   * interval rows — the notes-regions analog. Run-length encoding is
   * array-local (boundary-index HOF), no per-token shuffle. */

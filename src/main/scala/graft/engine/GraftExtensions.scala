@@ -3,7 +3,7 @@ package graft.engine
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.sql.graftbridge.Bridge
 import graft.functions.{FrameAgg, GFormat, IntersectCount, TokenHistogram, VecDot}
 
@@ -95,6 +95,23 @@ object GraftExtensions {
           intArg(s, "step"), intArg(b, "block"), "mean")
       case args => throw new IllegalArgumentException(
         s"frame_mean takes 3 arguments, got ${args.length}")
+    },
+    fn("frame_spectrum",
+      "frame_spectrum(tokens, step, block, window) - per-frame tapered " +
+        "DFT magnitude spectra (block/2+1 bins) over array<int>") {
+      case Seq(t, s, b, w) =>
+        val block = intArg(b, "block")
+        val shape = graft.model.WindowShape.fromName(w match {
+          case Literal(v, StringType) => v.toString
+          case other if other.foldable => String.valueOf(other.eval(null))
+          case _ => throw new IllegalArgumentException(
+            "window must be a literal string")
+        })
+        val (cre, cim) = SpectrumExtractor.dftCoefficients(shape, block)
+        graft.functions.FrameSpectrum(asArrayOf(t, IntegerType),
+          intArg(s, "step"), block, cre, cim)
+      case args => throw new IllegalArgumentException(
+        s"frame_spectrum takes 4 arguments, got ${args.length}")
     },
     fn("token_histogram",
       "token_histogram(tokens, k) - per-bucket counts (token mod k) over array<int>") {

@@ -62,13 +62,73 @@ object Queries5 {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------- q53
+  /** W3 frequency-domain adaptation end-to-end: hanning-tapered per-frame
+    * DFT magnitude spectrum (native FrameSpectrum expression), timestamps
+    * at block start (ShiftData). The oracle embeds the ENGINE-computed
+    * taper-folded coefficient matrices as double literals — the q43
+    * lesson applied from the start: float32 storage is modeled with
+    * CAST(... AS REAL)::DOUBLE before the 6-digit round. */
+  def q53Spectrum(s: SparkSession, dir: String): DataFrame = {
+    val specs = TransformSpecs.parseJson(
+      """[{"id": "spec", "plugin": "graft:spectrum", "output": "magnitude",
+         |  "step_size": 8, "block_size": 16, "window_type": "hanning"}]"""
+        .stripMargin)
+    Engine.run(seqsOf(s, dir), specs)
+      .select(col("doc_id"), col("ts"),
+        posexplode(col("values")))
+      .select(col("doc_id"), col("ts"), col("pos").cast("int").as("bin"),
+        round(col("col").cast("double"), 6).as("mag"))
+      .orderBy("doc_id", "ts", "bin")
+  }
+
+  private def seqsOf(s: SparkSession, dir: String): DataFrame =
+    QueryUtil.seqsOf(s, dir)
+
   // ------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_ppm_decode" -> q51PpmDecode,
-    "q52_wav_decode" -> q52WavDecode)
+    "q52_wav_decode" -> q52WavDecode,
+    "q53_spectrum" -> q53Spectrum)
+
+  /** ENGINE-computed taper-folded DFT coefficient literals (hanning,
+    * block 16, 9 bins) formatted shortest-round-trip — DuckDB parses
+    * them back to the identical doubles, so the whole spectrum matches
+    * bit-for-bit before the float32 width modeling. */
+  private def matSql(m: Seq[Seq[Double]]): String =
+    m.map(_.map(_.toString).mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")
+  private lazy val (creSql, cimSql) = {
+    val (cre, cim) = SpectrumExtractor.dftCoefficients(
+      graft.model.WindowShape.Hanning, 16)
+    (matSql(cre), matSql(cim))
+  }
+
+  /** frames CTE shared with the Queries4 energy oracles. */
+  private val framesCte =
+    s"""t AS (SELECT doc_id::VARCHAR AS doc_id, ${QueryUtil.toksSql} AS toks
+              FROM documents),
+       f AS (
+         SELECT doc_id, toks,
+                unnest(range((len(toks) - 16) // 8 + 1)) AS frame
+         FROM t WHERE len(toks) >= 16)"""
 
   val oracle: Map[String, String] = Map(
+    "q53_spectrum" ->
+      s"""WITH $framesCte,
+         m AS (SELECT $creSql::DOUBLE[][] AS cre, $cimSql::DOUBLE[][] AS cim),
+         b AS (
+           SELECT doc_id, frame, u.k AS bin,
+                  list_sum(list_transform(range(16),
+                    j -> toks[frame*8+j+1] * cre[u.k+1][j+1])) AS re,
+                  list_sum(list_transform(range(16),
+                    j -> toks[frame*8+j+1] * cim[u.k+1][j+1])) AS im
+           FROM f, m, (SELECT unnest(range(9)) AS k) u)
+         SELECT doc_id, frame * 8000000 AS ts, CAST(bin AS INT) AS bin,
+                round(CAST(CAST(sqrt(re*re + im*im) AS REAL) AS DOUBLE),
+                  6) AS mag
+         FROM b ORDER BY 1, 2, 3""",
     "q51_ppm_decode" ->
       """SELECT doc_id,
                 CAST((doc_id % 7) + 1 AS INT) AS width,

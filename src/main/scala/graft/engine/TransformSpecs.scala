@@ -247,7 +247,8 @@ object TransformSpecs {
     "histogram" -> "graft:histogram",
     "regions" -> "graft:regions",
     "clicks" -> "graft:clicks",
-    "changepoints" -> "graft:changepoints")
+    "changepoints" -> "graft:changepoints",
+    "spectrum" -> "graft:spectrum")
 
   /** Drop `# comment` outside quotes and <URIs> (`@prefix : <#>.` keeps
     * its hash). */

@@ -138,4 +138,47 @@ class EngineSpec extends AnyFunSuite {
     assert(hann.toSeq == default.toSeq)
     assert(hann.toSeq != rect.toSeq)
   }
+
+  test("W3 spectrum: native FrameSpectrum equals a naive DFT; DC bin exact") {
+    import graft.engine.SpectrumExtractor
+    import graft.model.WindowShape
+    val toks = Array(3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9, 3,
+      2, 3, 8, 4, 6, 2, 6, 4)
+    val (cre, cim) = SpectrumExtractor.dftCoefficients(WindowShape.Hanning, 16)
+    val got = Seq(toks.toSeq).toDF("tokens")
+      .select(graft.functions.FrameSpectrum.spectrum(
+        $"tokens", 8, 16, cre, cim).as("s"))
+      .as[Seq[Seq[Float]]].head()
+    assert(got.length == 2) // frames at 0 and 8
+    // naive reference DFT, same literals, same accumulation order
+    def naive(off: Int): Seq[Float] = (0 until 9).map { k =>
+      var re = 0.0; var im = 0.0
+      for (j <- 0 until 16) {
+        re += toks(off + j) * cre(k)(j); im += toks(off + j) * cim(k)(j)
+      }
+      math.sqrt(re * re + im * im).toFloat
+    }
+    assert(got(0) == naive(0) && got(1) == naive(8))
+    // rectangular DC bin is exactly the frame sum (integer-exact doubles)
+    val (rre, rim) = SpectrumExtractor.dftCoefficients(WindowShape.Rectangular, 16)
+    val rect = Seq(toks.toSeq).toDF("tokens")
+      .select(graft.functions.FrameSpectrum.spectrum(
+        $"tokens", 8, 16, rre, rim).as("s"))
+      .as[Seq[Seq[Float]]].head()
+    assert(rect(0)(0) == toks.take(16).sum.toFloat)
+  }
+
+  test("W3 spectrum runs through Engine.run with ShiftData timestamps") {
+    val seqs = Seq(("d1", (1 to 24).toArray.toSeq, 24, "s"))
+      .toDF("doc_id", "tokens", "n_tok", "source")
+    val specs = graft.engine.TransformSpecs.parseJson(
+      """[{"id": "sp", "plugin": "graft:spectrum", "step_size": 8,
+         |  "block_size": 16}]""".stripMargin)
+    val rows = Engine.run(seqs, specs)
+      .orderBy("ts").collect()
+    assert(rows.length == 2) // frames at position 0 and 8
+    // ShiftData: ts at block START (0 and 8 ms at the default 1000/s)
+    assert(rows.map(_.getAs[Long]("ts")).toSeq == Seq(0L, 8000000L))
+    assert(rows.forall(_.getAs[scala.collection.Seq[Float]]("values").size == 9))
+  }
 }

@@ -43,6 +43,12 @@ class ExtensionsSpec extends AnyFunSuite {
     val gf = spark.sql("SELECT g_format(10000000.0d, 6) AS g")
       .head().getString(0)
     assert(gf == "1e+07")
+    // frame_spectrum: rectangular DC bin of one frame = frame sum
+    val fs = spark.sql(
+      "SELECT frame_spectrum(array(1, 2, 3, 4), 4, 4, 'rectangular') AS s")
+      .head().getSeq[scala.collection.Seq[Float]](0)
+    assert(fs.length == 1 && fs.head.length == 3) // 4/2+1 bins
+    assert(fs.head.head == 10.0f)
     // registration is idempotent
     GraftExtensions.register(spark)
     assert(spark.sql("SELECT vec_dot(array(1.0d), array(2.0d))")
