@@ -171,9 +171,81 @@ object Bench {
     println(line)
   }
 
+  /** Dedup-scale evidence (`runMain graft.Bench dedup`): the embedding
+    * near-dup pair generator at 4x the corpus on identical bytes-per-row.
+    * The trap this operator exists to avoid is O(N²) pair work; measured
+    * sub-quadratic growth (4x data -> ~4x-6x time, quadratic would be
+    * 16x) is the evidence the bucketed equi-join actually bounds the
+    * candidate set. Also reports banded-vs-single-signature recall
+    * against the exact O(N²) baseline at a small N (the structural
+    * recall claim behind bands=2 in q39/q40). Writes BENCH/dedup.json. */
+  private def dedupScale(): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = session(16)
+    val dim = 16
+    // deterministic corpus: 1/8 of rows form near-identical PAIRS
+    // (ids 16k,16k+1 share a base vector, 1e-3 jitter); the rest are
+    // isotropic pseudo-random directions
+    def gen(n: Long) = {
+      val base = when(pmod(col("id"), lit(16)) < 2,
+        col("id") - pmod(col("id"), lit(2))).otherwise(col("id"))
+      spark.range(n).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)), j =>
+          ((pmod(xxhash64(base, j), lit(2000001L)) - 1000000L).cast("double")
+            / 1000000.0 +
+            (pmod(xxhash64(col("id"), j, lit(7)), lit(2001L)) - 1000L)
+              .cast("double") / 1000000.0).cast("float")).as("embedding"))
+    }
+    def pairsTime(n: Long): (Double, Long) = {
+      val path = s"/tmp/graft_bench_emb_n$n"
+      if (!new java.io.File(s"$path/_SUCCESS").exists())
+        gen(n).repartition(32).write.mode("overwrite").parquet(path)
+      val df = spark.read.parquet(path)
+      var cnt = 0L
+      val t = minOf(2) {
+        cnt = graft.operators.Dedup.embeddingDupPairs(df, "vec_id",
+          "embedding", dim, nPlanes = 12, threshold = 0.99,
+          bands = 2, maxBucket = 2000).count()
+      }
+      (t, cnt)
+    }
+    val nSmall = 100000L
+    val nLarge = 400000L
+    val (tS, cS) = pairsTime(nSmall)
+    val (tL, cL) = pairsTime(nLarge)
+    // recall vs the exact O(N²) baseline at a size where exact is payable
+    val nR = 10000L
+    val rdf = gen(nR).cache()
+    val v = rdf.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("n", graft.operators.Similarity.norm(col("v")))
+    val a = v.select(col("vec_id").as("id_a"), col("v").as("v_a"), col("n").as("n_a"))
+    val b = v.select(col("vec_id").as("id_b"), col("v").as("v_b"), col("n").as("n_b"))
+    val exact = a.join(broadcast(b), col("id_a") < col("id_b"))
+      .where(graft.operators.Similarity.cosinePre(col("v_a"), col("v_b"),
+        col("n_a"), col("n_b")) >= 0.99)
+      .count()
+    def lshCount(bands: Int): Long =
+      graft.operators.Dedup.embeddingDupPairs(rdf, "vec_id", "embedding",
+        dim, nPlanes = 12, threshold = 0.99, bands = bands,
+        maxBucket = 2000).count()
+    val rBanded = lshCount(2).toDouble / math.max(exact, 1)
+    val rSingle = lshCount(1).toDouble / math.max(exact, 1)
+    rdf.unpersist()
+    spark.stop()
+    val ratio = tL / tS
+    val line = f"""{"metric":"embedding_dedup_scale","dim":$dim,"n_small":$nSmall,"t_small_sec":$tS%.3f,"pairs_small":$cS,"n_large":$nLarge,"t_large_sec":$tL%.3f,"pairs_large":$cL,"time_ratio_4x_data":$ratio%.2f,"quadratic_ratio":16.0,"recall_exact_n":$nR,"recall_banded2":$rBanded%.3f,"recall_single":$rSingle%.3f}"""
+    val out = new java.io.File("BENCH/dedup.json")
+    out.getParentFile.mkdirs()
+    val w = new java.io.PrintWriter(out)
+    try w.println(line) finally w.close()
+    println(line)
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.contains("ladder")) { ladder(); return }
     if (args.contains("skew")) { skew(); return }
+    if (args.contains("dedup")) { dedupScale(); return }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble)

@@ -81,6 +81,66 @@ class StreamOracleSpec extends AnyFunSuite {
       .toMap
   }
 
+  // --------------------------------------- windowed aggregation oracle
+
+  /** DuckDB sliding-window oracle (5-minute windows, 1-minute slide):
+    * (window_start_us, event_type) -> (count, round(sum, 6)). */
+  private lazy val windowOracle: Map[(Long, String), (Long, Double)] = {
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/fixtures/q_windows_oracle_sf0001.csv"))
+    try {
+      val lines = src.getLines().toList
+      assert(lines.head == "ws,event_type,n,v")
+      lines.tail.map { l =>
+        val c = l.split(",", -1)
+        (c(0).toLong, c(1)) -> ((c(2).toLong, c(3).toDouble))
+      }.toMap
+    } finally src.close()
+  }
+
+  test("streaming windowedAgg reproduces the DuckDB sliding-window " +
+      "oracle over the real events fixture") {
+    implicit val sc = spark.sqlContext
+    case class Ev(ts: java.sql.Timestamp, event_type: String, value: Double)
+    val rows = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("ts").cast("timestamp").as("ts"), col("event_type"),
+        col("value"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2)))
+      .sortBy(t => StreamOps.micros(t._1))
+    val maxUs = StreamOps.micros(rows.last._1)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, String, Double)](spark)
+    val query = StreamOps.windowedAgg(
+      ms.toDS().toDF("ts", "event_type", "value"),
+      "5 minutes", "1 minute", "0 seconds")
+      .select(unix_micros(col("window.start")).as("ws"), col("event_type"),
+        col("n"), col("v"))
+      .writeStream.format("memory").queryName("windowed_oracle")
+      .outputMode("append").start()
+    try {
+      rows.grouped(rows.length / 3 + 1).foreach { b =>
+        ms.addData(b.toSeq); query.processAllAvailable()
+      }
+      // advance the watermark far past every real window's end so append
+      // mode flushes them (the sentinel's own windows stay pending)
+      ms.addData(Seq((new java.sql.Timestamp(maxUs / 1000 + 86400000L),
+        "sentinel", 0.0)))
+      query.processAllAvailable()
+    } finally query.stop()
+    val got = spark.table("windowed_oracle").collect()
+      .filter(_.getString(1) != "sentinel")
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), math.rint(r.getDouble(3) * 1e6) / 1e6)))
+      .toMap
+    assert(got.size == windowOracle.size,
+      s"${got.size} windows vs oracle ${windowOracle.size}")
+    val bad = windowOracle.collect {
+      case (k, v) if got.get(k) != Some(v) => (k, v, got.get(k))
+    }
+    assert(bad.isEmpty, s"${bad.size} window mismatches, first=${bad.headOption}")
+  }
+
   // ------------------------------------------------ sessionize vs q4
 
   /** q4 oracle sessions (DuckDB gap-sessionization SQL exported
