@@ -185,14 +185,9 @@ object Queries4 {
 
   private val toksSql = QueryUtil.toksSql
 
-  /** frames CTE shared by the energy oracles (q30's shape). */
-  private val framesCte =
-    s"""t AS (SELECT doc_id::VARCHAR AS doc_id, $toksSql AS toks
-              FROM documents),
-       f AS (
-         SELECT doc_id, toks,
-                unnest(range((len(toks) - 16) // 8 + 1)) AS frame
-         FROM t WHERE len(toks) >= 16)"""
+  /** frames CTE shared by the energy oracles (q30's shape) — ONE
+    * definition in QueryUtil (drift guard). */
+  private val framesCte = QueryUtil.framesCte
 
   /** Hanning taper coefficients as a SQL list literal — the ENGINE's
     * values verbatim (Double.toString round-trips exactly). */

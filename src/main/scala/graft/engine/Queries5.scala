@@ -105,14 +105,8 @@ object Queries5 {
     (matSql(cre), matSql(cim))
   }
 
-  /** frames CTE shared with the Queries4 energy oracles. */
-  private val framesCte =
-    s"""t AS (SELECT doc_id::VARCHAR AS doc_id, ${QueryUtil.toksSql} AS toks
-              FROM documents),
-       f AS (
-         SELECT doc_id, toks,
-                unnest(range((len(toks) - 16) // 8 + 1)) AS frame
-         FROM t WHERE len(toks) >= 16)"""
+  /** frames CTE — the ONE QueryUtil definition (drift guard). */
+  private val framesCte = QueryUtil.framesCte
 
   val oracle: Map[String, String] = Map(
     "q53_spectrum" ->

@@ -28,4 +28,16 @@ private[engine] object QueryUtil {
   /** DuckDB equivalent of docsTok's tokens column. */
   val toksSql: String =
     "list_transform(string_split(text, ' '), w -> length(w))"
+
+  /** THE frames CTE (step 8, block 16) shared by every frame-windowed
+    * oracle (q30/q42/q43 energies, q49 vector means, q53 spectra): one
+    * definition so the framing contract cannot drift per file, exactly
+    * like toksSql. */
+  val framesCte: String =
+    s"""t AS (SELECT doc_id::VARCHAR AS doc_id, $toksSql AS toks
+              FROM documents),
+       f AS (
+         SELECT doc_id, toks,
+                unnest(range((len(toks) - 16) // 8 + 1)) AS frame
+         FROM t WHERE len(toks) >= 16)"""
 }

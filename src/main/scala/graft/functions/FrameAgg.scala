@@ -42,9 +42,15 @@ case class FrameAgg(child: Expression, step: Int, block: Int, kind: String,
 
   @transient private lazy val taperArr: Array[Double] = taper.map(_.toArray).orNull
 
-  /** shared by eval and codegen (via reference object): the frame loop. */
+  override def nullable: Boolean = true // null elements -> null result
+
+  /** shared by eval and codegen (via reference object): the frame loop.
+    * Null result on any null element (VecDot convention): unboxing a
+    * null token to 0 would fabricate plausible frame values. */
   def compute(arr: ArrayData): GenericArrayData = {
     val n = arr.numElements()
+    var p = 0
+    while (p < n) { if (arr.isNullAt(p)) return null; p += 1 }
     val nf = if (n < block) 0 else (n - block) / step + 1
     val out = new Array[Double](nf)
     val sq = kind == "energy"
@@ -70,8 +76,11 @@ case class FrameAgg(child: Expression, step: Int, block: Int, kind: String,
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val self = ctx.addReferenceObj("frameAgg", this, classOf[FrameAgg].getName)
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = $self.compute($c);")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      org.apache.spark.sql.catalyst.util.GenericArrayData ${ev.value}_r =
+        $self.compute($c);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r; }""")
   }
 
   override protected def withNewChildInternal(newChild: Expression): FrameAgg =

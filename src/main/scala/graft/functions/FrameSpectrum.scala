@@ -51,6 +51,7 @@ case class FrameSpectrum(child: Expression, step: Int, block: Int,
     }
   override def dataType: DataType =
     ArrayType(ArrayType(FloatType, containsNull = false), containsNull = false)
+  override def nullable: Boolean = true // null elements -> null result
   override def prettyName: String = "frame_spectrum"
 
   @transient private lazy val creArr: Array[Array[Double]] =
@@ -58,9 +59,14 @@ case class FrameSpectrum(child: Expression, step: Int, block: Int,
   @transient private lazy val cimArr: Array[Array[Double]] =
     cim.map(_.toArray).toArray
 
-  /** shared by eval and codegen (via reference object): the frame loop. */
+  /** shared by eval and codegen (via reference object): the frame loop.
+    * Returns null (whole result) if any element is null — the VecDot
+    * convention; silently unboxing a null token to 0 would fabricate a
+    * plausible spectrum. */
   def compute(arr: ArrayData): GenericArrayData = {
     val n = arr.numElements()
+    var p = 0
+    while (p < n) { if (arr.isNullAt(p)) return null; p += 1 }
     val nf = if (n < block) 0 else (n - block) / step + 1
     val bins = creArr.length
     val out = new Array[Any](nf)
@@ -94,8 +100,11 @@ case class FrameSpectrum(child: Expression, step: Int, block: Int,
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val self = ctx.addReferenceObj("frameSpectrum", this,
       classOf[FrameSpectrum].getName)
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = $self.compute($c);")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      org.apache.spark.sql.catalyst.util.GenericArrayData ${ev.value}_r =
+        $self.compute($c);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r; }""")
   }
 
   override protected def withNewChildInternal(newChild: Expression): FrameSpectrum =

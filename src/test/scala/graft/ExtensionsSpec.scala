@@ -49,6 +49,13 @@ class ExtensionsSpec extends AnyFunSuite {
       .head().getSeq[scala.collection.Seq[Float]](0)
     assert(fs.length == 1 && fs.head.length == 3) // 4/2+1 bins
     assert(fs.head.head == 10.0f)
+    // null elements surface as NULL (VecDot convention), never as a
+    // silently-zeroed plausible value
+    assert(spark.sql(
+      "SELECT frame_spectrum(array(1, NULL, 3, 4), 4, 4, 'rectangular')")
+      .head().isNullAt(0))
+    assert(spark.sql("SELECT frame_energy(array(1, NULL), 2, 2)")
+      .head().isNullAt(0))
     // registration is idempotent
     GraftExtensions.register(spark)
     assert(spark.sql("SELECT vec_dot(array(1.0d), array(2.0d))")

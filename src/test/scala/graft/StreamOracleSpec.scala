@@ -100,8 +100,6 @@ class StreamOracleSpec extends AnyFunSuite {
 
   test("streaming windowedAgg reproduces the DuckDB sliding-window " +
       "oracle over the real events fixture") {
-    implicit val sc = spark.sqlContext
-    case class Ev(ts: java.sql.Timestamp, event_type: String, value: Double)
     val rows = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .select(col("ts").cast("timestamp").as("ts"), col("event_type"),
         col("value"))
@@ -161,7 +159,6 @@ class StreamOracleSpec extends AnyFunSuite {
 
   test("streaming sessionize reproduces the q4 DuckDB oracle (gap " +
       "sessions over the real events fixture, cross-batch state)") {
-    implicit val sc = spark.sqlContext
     val rows = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
         col("value"))
