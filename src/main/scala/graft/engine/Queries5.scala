@@ -85,12 +85,55 @@ object Queries5 {
   private def seqsOf(s: SparkSession, dir: String): DataFrame =
     QueryUtil.seqsOf(s, dir)
 
+  // --------------------------------------------------------------- q54
+  /** Train/test CONTAMINATION check, the composed two-pass design:
+    * EXACT content matches (hash equi-join — immune to the LSH cap, so
+    * a benchmark doc in a degenerate boilerplate bucket is still
+    * caught; identical payloads are the common contamination case)
+    * UNION banded-minhash near-dup candidates
+    * (`Dedup.minhashLshPairsAcross`, combined-side bucket cap, portable
+    * band keys). Corpus = all documents, "benchmark" = every 10th doc,
+    * so every benchmark doc must surface its corpus twin at
+    * est_jaccard 1.0 via the exact pass regardless of bucket skew.
+    * Both passes and the cap are modeled in the oracle. */
+  def q54Contamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = QueryUtil.docsTok(s, dir)
+    val bench = docs.where(col("doc_id") % 10 === 3)
+    val exact = graft.operators.Dedup.exactMatchesAcross(
+      docs, bench, "doc_id", "tokens")
+      .withColumn("est_jaccard", lit(1.0))
+    val near = graft.operators.Dedup.minhashLshPairsAcross(
+      docs, bench, "doc_id", "tokens",
+      numHashes = 8, bands = 4, threshold = 0.5,
+      maxBucket = 1000, portableBucketKey = true)
+    exact.unionByName(near)
+      .groupBy("id_l", "id_r")
+      .agg(max(col("est_jaccard")).as("est_jaccard"))
+      .orderBy("id_l", "id_r")
+  }
+
+  // --------------------------------------------------------------- q55
+  /** Deterministic stratified sampling: per-source rates (src3 kept at
+    * 80%, src7 dropped to 10%, everything else 30%) via the exact-int64
+    * selection hash — partition/retry-independent and reproduced
+    * bit-for-bit by the oracle. */
+  def q55Sample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratifiedByHash(
+      QueryUtil.t(s, dir, "documents")
+        .select(col("doc_id"), col("source")),
+      "doc_id", "source",
+      rates = Map("src3" -> 0.8, "src7" -> 0.1),
+      defaultRate = 0.3, salt = 5L)
+      .orderBy("doc_id")
+
   // ------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_ppm_decode" -> q51PpmDecode,
     "q52_wav_decode" -> q52WavDecode,
-    "q53_spectrum" -> q53Spectrum)
+    "q53_spectrum" -> q53Spectrum,
+    "q54_contamination" -> q54Contamination,
+    "q55_sample" -> q55Sample)
 
   /** ENGINE-computed taper-folded DFT coefficient literals (hanning,
     * block 16, 9 bins) formatted shortest-round-trip — DuckDB parses
@@ -108,7 +151,66 @@ object Queries5 {
   /** frames CTE — the ONE QueryUtil definition (drift guard). */
   private val framesCte = QueryUtil.framesCte
 
+  private val toksSql = QueryUtil.toksSql
+  private def cut(r: Double) = graft.operators.Sampling.cutFor(r)
+  private val mixSql =
+    "((t*t % 1000003) * 2654435761 + 40503*t + 1299721) % 1000003"
+
   val oracle: Map[String, String] = Map(
+    "q54_contamination" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         sig AS (
+           SELECT doc_id AS id,
+             list_transform(range(8), h ->
+               list_min(list_transform(toks,
+                 tk -> ((2*h+1)*tk + (h*h+7)) % 1000000007))) AS sig
+           FROM t),
+         banded0 AS (
+           SELECT id, sig, b,
+             array_to_string(list_transform(sig[b*2+1:b*2+2],
+               x -> CAST(x AS VARCHAR)), ',') AS bucket,
+             0 AS side
+           FROM sig, range(4) r(b)
+           UNION ALL
+           SELECT id, sig, b,
+             array_to_string(list_transform(sig[b*2+1:b*2+2],
+               x -> CAST(x AS VARCHAR)), ',') AS bucket,
+             1 AS side
+           FROM sig, range(4) r(b) WHERE id % 10 = 3),
+         banded AS (
+           -- COMBINED-side degenerate-bucket cap (engine maxBucket=1000)
+           SELECT id, sig, b, bucket, side FROM (
+             SELECT id, sig, b, bucket, side,
+               count(*) OVER (PARTITION BY b, bucket) AS bn
+             FROM banded0) WHERE bn <= 1000),
+         near AS (
+           SELECT DISTINCT a.id AS id_l, b.id AS id_r,
+             CAST(len(list_filter(range(8),
+               i -> a.sig[i+1] = b.sig[i+1])) AS DOUBLE) / 8 AS est_jaccard
+           FROM banded a JOIN banded b
+             ON a.b = b.b AND a.bucket = b.bucket
+               AND a.side = 0 AND b.side = 1),
+         exact AS (
+           -- exact-content pre-pass: cap-immune, always catches twins
+           SELECT a.doc_id AS id_l, b.doc_id AS id_r, 1.0 AS est_jaccard
+           FROM t a JOIN t b ON a.toks = b.toks
+           WHERE b.doc_id % 10 = 3),
+         pairs AS (
+           SELECT id_l, id_r, est_jaccard FROM near
+           WHERE est_jaccard >= 0.5
+           UNION ALL SELECT * FROM exact)
+         SELECT id_l, id_r, max(est_jaccard) AS est_jaccard FROM pairs
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q55_sample" ->
+      s"""WITH h0 AS (SELECT doc_id, source,
+                      (doc_id + 5) % 1000003 AS t FROM documents),
+         h1 AS (SELECT doc_id, source, $mixSql AS t FROM h0),
+         h2 AS (SELECT doc_id, source, $mixSql AS h FROM h1)
+         SELECT doc_id, source FROM h2
+         WHERE h < CASE WHEN source = 'src3' THEN ${cut(0.8)}
+                        WHEN source = 'src7' THEN ${cut(0.1)}
+                        ELSE ${cut(0.3)} END
+         ORDER BY doc_id""",
     "q53_spectrum" ->
       s"""WITH $framesCte,
          m AS (SELECT $creSql::DOUBLE[][] AS cre, $cimSql::DOUBLE[][] AS cim),

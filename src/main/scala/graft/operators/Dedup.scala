@@ -156,6 +156,86 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** CROSS-CORPUS exact matches: (id_l, id_r) for every content-equal
+    * pair between two tables. One hash shuffle on a 64-bit content
+    * digest (the arrays themselves stay out of the join key; equality
+    * re-verified post-join, so digest collisions cannot fabricate
+    * pairs). This is the contamination check's PRE-PASS: it is immune
+    * to the LSH path's degenerate-bucket cap — a benchmark doc sitting
+    * in a >maxBucket boilerplate bucket is invisible to [[
+    * minhashLshPairsAcross]] but trivially caught here, and identical
+    * payloads are precisely the common contamination case. */
+  def exactMatchesAcross(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      contentCol: String): DataFrame = {
+    val l = left.select(col(idCol).as("id_l"),
+      xxhash64(col(contentCol)).as("__h"), col(contentCol).as("__cl"))
+    val r = right.select(col(idCol).as("id_r"),
+      xxhash64(col(contentCol)).as("__h"), col(contentCol).as("__cr"))
+    l.join(r, Seq("__h"))
+      .where(col("__cl") === col("__cr"))
+      .select(col("id_l"), col("id_r"))
+  }
+
+  /** CROSS-CORPUS near-dup pairs (contamination check): banded-minhash
+    * candidates between TWO tables — the train/test (or corpus/benchmark)
+    * overlap detector every training pipeline needs before eval. Same
+    * machinery as [[minhashLshPairs]] (signatures, band buckets,
+    * signature-estimated Jaccard verify) but candidates pair only ACROSS
+    * the sides, and the degenerate-bucket cap counts the COMBINED
+    * (band, bucket) membership — the join cost is |L_b|·|R_b|, so a hot
+    * bucket on either side is the same quadratic trap.
+    *
+    * Returns (id_l, id_r, est_jaccard), est >= threshold. At 10^12×10^6
+    * scale (corpus × benchmark) the benchmark side is tiny: every stage
+    * is bounded by bucket sizes and the output by true overlap. */
+  def minhashLshPairsAcross(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5,
+      maxBucket: Int = 1000,
+      portableBucketKey: Boolean = false): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    def banded(df: DataFrame, side: Int) = {
+      val sig = df.select(col(idCol).as("id"),
+        TokenFeatures.minhashSignature(col(tokensCol), numHashes).as("sig"))
+      def bandKey(b: org.apache.spark.sql.Column) = {
+        val sl = slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
+        if (portableBucketKey)
+          concat_ws(",", transform(sl, x => x.cast("string")))
+        else hash(sl, b).cast("string")
+      }
+      sig.select(col("id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), b => bandKey(b))))
+        .withColumnRenamed("col", "bucket")
+        .withColumnRenamed("pos", "band")
+        .withColumn("side", lit(side))
+    }
+    val both = banded(left, 0).unionByName(banded(right, 1))
+    val wB = Window.partitionBy(col("band"), col("bucket"))
+    val capped = both
+      .withColumn("__n", count(lit(1)).over(wB)) // combined-side cap
+      .where(col("__n") <= maxBucket)
+    val a = capped.where(col("side") === 0).select(col("band"), col("bucket"),
+      col("id").as("id_l"), col("sig").as("sig_l"))
+    val b = capped.where(col("side") === 1).select(col("band"), col("bucket"),
+      col("id").as("id_r"), col("sig").as("sig_r"))
+    a.join(b, Seq("band", "bucket"))
+      .select(col("id_l"), col("id_r"),
+        (size(filter(zip_with(col("sig_l"), col("sig_r"), (x, y) =>
+          (x === y).cast("int")), v => v === 1)).cast("double") / numHashes)
+          .as("est_jaccard"))
+      .where(col("est_jaccard") >= threshold)
+      .dropDuplicates("id_l", "id_r")
+  }
+
   /** Connected components over a near-dup pair table -> (node, cluster)
     * with cluster = the minimum reachable id; training pipelines dedupe by
     * keeping one representative per CLUSTER, not per pair. Iterative

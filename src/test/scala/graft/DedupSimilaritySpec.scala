@@ -151,6 +151,71 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(kept == Set(1L, 4L, 5L, 6L, 7L, 8L, 9L, 10L, 12L))
   }
 
+  test("cross-corpus contamination: benchmark docs surface their corpus twins") {
+    val corpus = Seq(
+      (1L, Seq(3, 4, 5, 3, 4, 5, 3, 4, 5, 6, 7, 8)),
+      (2L, Seq(9, 9, 2, 1, 9, 9, 2, 1, 9, 9, 2, 1)),
+      (3L, Seq(20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31))
+    ).toDF("doc_id", "tokens")
+    val bench = Seq(
+      (100L, Seq(3, 4, 5, 3, 4, 5, 3, 4, 5, 6, 7, 8)), // contaminated (== 1)
+      (101L, Seq(50, 51, 52, 53, 54, 55, 56, 57, 58, 59, 60, 61)) // clean
+    ).toDF("doc_id", "tokens")
+    val pairs = Dedup.minhashLshPairsAcross(corpus, bench, "doc_id", "tokens",
+      numHashes = 16, bands = 8, threshold = 0.9)
+      .collect().map(r => (r.getAs[Long]("id_l"), r.getAs[Long]("id_r"),
+        r.getAs[Double]("est_jaccard")))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 100L && p._3 == 1.0),
+      s"contaminated doc not detected: ${pairs.toSeq}")
+    assert(!pairs.exists(_._2 == 101L), "clean benchmark doc falsely flagged")
+    // pairs only cross sides: no corpus-corpus or bench-bench pairs
+    assert(pairs.forall(p => p._1 < 100L && p._2 >= 100L))
+    // exact pre-pass: content-equal twins found via the hash join,
+    // independent of any LSH bucket cap
+    val exact = Dedup.exactMatchesAcross(corpus, bench, "doc_id", "tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == Set((1L, 100L)))
+  }
+
+  test("hash sampling is deterministic, partition-independent, rate-accurate") {
+    import graft.operators.Sampling
+    val df = spark.range(20000).toDF("id")
+    val s1 = Sampling.byHash(df, "id", 0.3, salt = 1)
+      .as[Long].collect().toSet
+    // identical under a different partitioning (rand()-based sampling is not)
+    val s2 = Sampling.byHash(df.repartition(17), "id", 0.3, salt = 1)
+      .as[Long].collect().toSet
+    assert(s1 == s2)
+    assert(math.abs(s1.size / 20000.0 - 0.3) < 0.02, s"rate off: ${s1.size}")
+    // a different salt draws a (mostly) independent sample
+    val s3 = Sampling.byHash(df, "id", 0.3, salt = 2).as[Long].collect().toSet
+    val overlap = (s1 intersect s3).size / s1.size.toDouble
+    assert(math.abs(overlap - 0.3) < 0.05, s"salted overlap $overlap")
+    // nested rates: keep(0.1) is a subset of keep(0.3)
+    val s4 = Sampling.byHash(df, "id", 0.1, salt = 1).as[Long].collect().toSet
+    assert(s4.subsetOf(s1))
+  }
+
+  test("stratified sampling applies per-stratum rates map-side") {
+    import graft.operators.Sampling
+    val df = spark.range(30000).toDF("id")
+      .withColumn("stratum",
+        when(pmod(col("id"), lit(3)) === 0, "keep")
+          .when(pmod(col("id"), lit(3)) === 1, "drop").otherwise("other"))
+    val out = Sampling.stratifiedByHash(df, "id", "stratum",
+      Map("keep" -> 0.9, "drop" -> 0.05), defaultRate = 0.5)
+    val counts = out.groupBy("stratum").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("keep") / 10000.0 - 0.9) < 0.02, counts.toString)
+    assert(math.abs(counts("drop") / 10000.0 - 0.05) < 0.02, counts.toString)
+    assert(math.abs(counts("other") / 10000.0 - 0.5) < 0.02, counts.toString)
+    // no shuffle of the corpus: the plan has no Exchange on the big side
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), "rate lookup must broadcast")
+  }
+
   test("exact dedup keeps the smallest id per duplicate group") {
     val kept = Dedup.exact(docs, Seq("tokens"), "doc_id")
       .select("doc_id").as[Long].collect().toSet
