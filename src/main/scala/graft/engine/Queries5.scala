@@ -153,8 +153,6 @@ object Queries5 {
 
   private val toksSql = QueryUtil.toksSql
   private def cut(r: Double) = graft.operators.Sampling.cutFor(r)
-  private val mixSql =
-    "((t*t % 1000003) * 2654435761 + 40503*t + 1299721) % 1000003"
 
   val oracle: Map[String, String] = Map(
     "q54_contamination" ->
@@ -202,11 +200,9 @@ object Queries5 {
          SELECT id_l, id_r, max(est_jaccard) AS est_jaccard FROM pairs
          GROUP BY 1, 2 ORDER BY 1, 2""",
     "q55_sample" ->
-      s"""WITH h0 AS (SELECT doc_id, source,
-                      (doc_id + 5) % 1000003 AS t FROM documents),
-         h1 AS (SELECT doc_id, source, $mixSql AS t FROM h0),
-         h2 AS (SELECT doc_id, source, $mixSql AS h FROM h1)
-         SELECT doc_id, source FROM h2
+      s"""WITH ${graft.operators.Sampling.selectionHashCtes(
+             "documents", "doc_id", 5L, "doc_id, source")}
+         SELECT doc_id, source FROM s3
          WHERE h < CASE WHEN source = 'src3' THEN ${cut(0.8)}
                         WHEN source = 'src7' THEN ${cut(0.1)}
                         ELSE ${cut(0.3)} END

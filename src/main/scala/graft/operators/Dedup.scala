@@ -35,6 +35,42 @@ object Dedup {
     *
     * Returns (id_a, id_b, est_jaccard) with id_a < id_b, est >= threshold.
     */
+  /** Banded minhash signatures: (id, sig, band, bucket) — one row per
+    * (doc, band). Band key = digest of that band's signature slice;
+    * portableBucketKey uses the slice values verbatim (reproducible in
+    * any engine for the oracle) instead of Spark's murmur3. Shared by
+    * the within-corpus and cross-corpus pair generators so the banding
+    * scheme cannot drift between them. */
+  private def bandedMinhash(df: DataFrame, idCol: String, tokensCol: String,
+      numHashes: Int, bands: Int, portableBucketKey: Boolean): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sig = df.select(col(idCol).as("id"),
+      TokenFeatures.minhashSignature(col(tokensCol), numHashes).as("sig"))
+    def bandKey(b: org.apache.spark.sql.Column) = {
+      val sl = slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
+      if (portableBucketKey)
+        concat_ws(",", transform(sl, x => x.cast("string")))
+      else hash(sl, b).cast("string")
+    }
+    sig.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b => bandKey(b))))
+      .withColumnRenamed("col", "bucket")
+      .withColumnRenamed("pos", "band")
+  }
+
+  /** Drop rows of (band, bucket) groups over `maxBucket` members. */
+  private def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
+    val wB = Window.partitionBy(col("band"), col("bucket"))
+    banded.withColumn("__n", count(lit(1)).over(wB))
+      .where(col("__n") <= maxBucket)
+  }
+
+  /** Signature-estimated Jaccard: fraction of agreeing minhash slots. */
+  private def estJaccard(a: Column, b: Column, numHashes: Int): Column =
+    size(filter(zip_with(a, b, (x, y) =>
+      (x === y).cast("int")), v => v === 1)).cast("double") / numHashes
+
   def minhashLshPairs(
       df: DataFrame,
       idCol: String,
@@ -44,29 +80,9 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucket: Int = 1000,
       portableBucketKey: Boolean = false): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
-    val sig = df
-      .select(col(idCol).as("id"),
-        TokenFeatures.minhashSignature(col(tokensCol), numHashes).as("sig"))
-    // band key = (band index, digest of that band's signature slice);
-    // portableBucketKey uses the slice values verbatim (reproducible in
-    // any engine for the oracle) instead of Spark's murmur3
-    def bandKey(b: org.apache.spark.sql.Column) = {
-      val sl = slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
-      if (portableBucketKey)
-        concat_ws(",", transform(sl, x => x.cast("string")))
-      else hash(sl, b).cast("string")
-    }
-    val banded = sig.select(col("id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), b => bandKey(b))))
-      .withColumnRenamed("col", "bucket")
-      .withColumnRenamed("pos", "band")
-    // cap degenerate buckets (see scale note above)
-    val wB = Window.partitionBy(col("band"), col("bucket"))
-    val capped = banded
-      .withColumn("__n", count(lit(1)).over(wB))
-      .where(col("__n") <= maxBucket)
+    val capped = capBuckets(
+      bandedMinhash(df, idCol, tokensCol, numHashes, bands, portableBucketKey),
+      maxBucket)
     val a = capped.select(col("band"), col("bucket"),
       col("id").as("id_a"), col("sig").as("sig_a"))
     val b = capped.select(col("band"), col("bucket"),
@@ -74,9 +90,7 @@ object Dedup {
     a.join(b, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
-          (x === y).cast("int")), v => v === 1)).cast("double") / numHashes)
-          .as("est_jaccard"))
+        estJaccard(col("sig_a"), col("sig_b"), numHashes).as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
       .dropDuplicates("id_a", "id_b")
   }
@@ -201,37 +215,19 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucket: Int = 1000,
       portableBucketKey: Boolean = false): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
-    def banded(df: DataFrame, side: Int) = {
-      val sig = df.select(col(idCol).as("id"),
-        TokenFeatures.minhashSignature(col(tokensCol), numHashes).as("sig"))
-      def bandKey(b: org.apache.spark.sql.Column) = {
-        val sl = slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
-        if (portableBucketKey)
-          concat_ws(",", transform(sl, x => x.cast("string")))
-        else hash(sl, b).cast("string")
-      }
-      sig.select(col("id"), col("sig"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)), b => bandKey(b))))
-        .withColumnRenamed("col", "bucket")
-        .withColumnRenamed("pos", "band")
+    def banded(df: DataFrame, side: Int) =
+      bandedMinhash(df, idCol, tokensCol, numHashes, bands, portableBucketKey)
         .withColumn("side", lit(side))
-    }
-    val both = banded(left, 0).unionByName(banded(right, 1))
-    val wB = Window.partitionBy(col("band"), col("bucket"))
-    val capped = both
-      .withColumn("__n", count(lit(1)).over(wB)) // combined-side cap
-      .where(col("__n") <= maxBucket)
+    // combined-side cap: the join cost is |L_b|·|R_b|
+    val capped = capBuckets(
+      banded(left, 0).unionByName(banded(right, 1)), maxBucket)
     val a = capped.where(col("side") === 0).select(col("band"), col("bucket"),
       col("id").as("id_l"), col("sig").as("sig_l"))
     val b = capped.where(col("side") === 1).select(col("band"), col("bucket"),
       col("id").as("id_r"), col("sig").as("sig_r"))
     a.join(b, Seq("band", "bucket"))
       .select(col("id_l"), col("id_r"),
-        (size(filter(zip_with(col("sig_l"), col("sig_r"), (x, y) =>
-          (x === y).cast("int")), v => v === 1)).cast("double") / numHashes)
-          .as("est_jaccard"))
+        estJaccard(col("sig_l"), col("sig_r"), numHashes).as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
       .dropDuplicates("id_l", "id_r")
   }

@@ -14,10 +14,12 @@ import org.apache.spark.sql.functions._
   * AND engine (the exact-int64 mix family is reproducible in the DuckDB
   * oracle, q55). Changing `salt` draws an independent sample.
   *
-  * Rate resolution is 1/M (M = 1000003); selection uses
-  * mix(mix(key + salt)) < floor(rate·M) — same double-mix as the LSH
-  * plane family (one round has sequential correlation). Map-only: a
-  * pushable filter, no shuffle, no state.
+  * Rate resolution is 1/M (M = 1000003); selection compares the
+  * two-limb salted hash (see [[selectionHash]]) against floor(rate·M) —
+  * same exact-int64 mix family as the LSH planes (one round has
+  * sequential correlation, hence two). Map-only: a pushable filter, no
+  * shuffle, no state. Keys must be non-negative integral ids; NULL
+  * keys are never selected at ANY rate (enforce presence upstream).
   */
 object Sampling {
 
@@ -28,12 +30,46 @@ object Sampling {
   private def mix(t: Column): Column =
     pmod((t * t % M) * 2654435761L + lit(40503L) * t + 1299721L, lit(M))
 
-  /** mix(mix(key + salt)) in [0, M) — the selection hash. */
-  def selectionHash(key: Column, salt: Long): Column =
-    mix(mix(pmod(key.cast("long") + salt, lit(M))))
+  /** Selection hash in [0, M): the key is folded through TWO mod-M limbs
+    * (lo = key mod M, hi = ⌊key/M⌋ mod M) with the salt mixed into the
+    * low limb FIRST —
+    *
+    *   h = mix( (hi + mix((lo + salt) mod M)) mod M )
+    *
+    * Folding only `key mod M` would make keys congruent mod M (~10⁶)
+    * receive identical decisions under EVERY salt — a periodic,
+    * salt-immune pattern fatal on sequential ids at corpus scale. The
+    * two-limb fold distinguishes keys up to M² ≈ 10¹², and which pairs
+    * collide depends on the salt (the inner mix is keyed by it). Keys
+    * must be NON-NEGATIVE integral ids; NULL keys are never selected
+    * (hash of NULL is NULL) — enforce key presence upstream. */
+  def selectionHash(key: Column, salt: Long): Column = {
+    val k = key.cast("long")
+    val lo = pmod(k, lit(M))
+    // (k - lo) is exactly divisible by M, so integral `div` == floor for
+    // every sign — the rebucketTs negative-ts lesson
+    val hi = pmod(call_function("div", k - lo, lit(M)), lit(M))
+    mix(pmod(hi + mix(pmod(lo + salt, lit(M))), lit(M)))
+  }
 
   /** The integer cut for a rate (floor(rate·M)) — shared with oracles. */
   def cutFor(rate: Double): Long = math.floor(rate * M).toLong
+
+  /** DuckDB CTE chain computing the selection hash as column `h` —
+    * generated HERE, next to the Scala definition, so engine and oracle
+    * cannot silently desynchronize (the QueryUtil one-definition rule).
+    * Assumes non-negative keys (plain `%`/`//`, like the engine's
+    * contract). `passCols` are carried through each stage. */
+  def selectionHashCtes(src: String, keySql: String, salt: Long,
+      passCols: String): String = {
+    val mixSql =
+      s"((t*t % $M) * 2654435761 + 40503*t + 1299721) % $M"
+    s"""s0 AS (SELECT $passCols, (($keySql) % $M + $salt) % $M AS t,
+              (($keySql) // $M) % $M AS hi FROM $src),
+       s1 AS (SELECT $passCols, hi, $mixSql AS t FROM s0),
+       s2 AS (SELECT $passCols, (hi + t) % $M AS t FROM s1),
+       s3 AS (SELECT $passCols, $mixSql AS h FROM s2)"""
+  }
 
   /** Keep ~rate of rows, deterministically by key hash. */
   def byHash(df: DataFrame, keyCol: String, rate: Double,
