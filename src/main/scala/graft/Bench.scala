@@ -196,8 +196,12 @@ object Bench {
             (pmod(xxhash64(col("id"), j, lit(7)), lit(2001L)) - 1000L)
               .cast("double") / 1000000.0).cast("float")).as("embedding"))
     }
+    // BUMP genVersion whenever gen() changes: the fixture is cached on
+    // disk, and a stale corpus would silently invalidate the recorded
+    // evidence while claiming to describe the new code
+    val genVersion = 1
     def pairsTime(n: Long): (Double, Long) = {
-      val path = s"/tmp/graft_bench_emb_n$n"
+      val path = s"/tmp/graft_bench_emb_n${n}_v$genVersion"
       if (!new java.io.File(s"$path/_SUCCESS").exists())
         gen(n).repartition(32).write.mode("overwrite").parquet(path)
       val df = spark.read.parquet(path)

@@ -315,9 +315,13 @@ object Main {
   def main(args: Array[String]): Unit = {
     val c =
       try parseArgs(args.toSeq)
-      catch { case e: IllegalArgumentException =>
-        System.err.println(s"ERROR: ${e.getMessage}")
-        sys.exit(2)
+      catch {
+        // IOException too: --segments-from with a missing file must hit
+        // the clean exit-2 path, not a raw NoSuchFileException trace
+        case e @ (_: IllegalArgumentException | _: java.io.IOException) =>
+          System.err.println(s"ERROR: ${e.getMessage}")
+          System.err.println("use --help for help")
+          sys.exit(2)
       }
     if (c.help) { println(usage); return } // no session needed
     val spark = SparkSession.builder()

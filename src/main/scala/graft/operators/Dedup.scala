@@ -382,10 +382,7 @@ object Dedup {
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
     // cap degenerate buckets (see scale note above)
-    val wB = Window.partitionBy(col("band"), col("bucket"))
-    val capped = banded
-      .withColumn("__n", count(lit(1)).over(wB))
-      .where(col("__n") <= maxBucket)
+    val capped = capBuckets(banded, maxBucket)
     val a = capped.select(col("band"), col("bucket"), col("id").as("id_a"),
       col("v").as("v_a"), col("n").as("n_a"))
     val b = capped.select(col("band"), col("bucket"), col("id").as("id_b"),

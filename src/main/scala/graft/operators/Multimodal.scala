@@ -161,10 +161,14 @@ object Multimodal {
     require(maxval > 0 && maxval < 65536, s"bad PPM maxval $maxval")
     require(maxval < 256, "16-bit-per-channel PPM not supported")
     i += 1 // single whitespace after maxval, per spec
-    val need = w * h * 3
-    require(payload.length - i >= need,
+    // LONG arithmetic: a crafted header like "1431655766 1" makes
+    // w*h*3 wrap Int past the truncation check and return silently
+    // bogus pixels — the loud-failure contract demands the overflow
+    // be caught, not wrapped
+    val need = w.toLong * h * 3L
+    require(payload.length.toLong - i >= need,
       s"PPM pixel data truncated: need $need bytes, have ${payload.length - i}")
-    (w, h, maxval, java.util.Arrays.copyOfRange(payload, i, i + need))
+    (w, h, maxval, java.util.Arrays.copyOfRange(payload, i, i + need.toInt))
   }
 
   /** Distributed P6 decode: batched per partition like [[extractFeatures]]. */
@@ -214,7 +218,10 @@ object Multimodal {
     while (i + 8 <= payload.length && (samples == null || channels < 0)) {
       val tag = new String(payload, i, 4, "US-ASCII")
       val size = le32(payload, i + 4)
-      require(size >= 0 && i + 8 + size <= payload.length,
+      // LONG bounds: a declared size near Int.MaxValue wraps i+8+size
+      // negative, passing the check and then OOMing on the sample
+      // allocation or reading out of bounds
+      require(size >= 0 && i.toLong + 8L + size <= payload.length,
         s"WAV chunk '$tag' overruns the payload")
       tag match {
         case "fmt " =>

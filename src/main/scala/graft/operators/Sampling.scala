@@ -23,12 +23,11 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  private val M = 1000003L
+  private val M = graft.functions.ExactMix.M
 
-  /** One exact-int64 mix round as a Column (all intermediates < 2^63:
-    * t < M ⇒ (t² mod M)·2654435761 < 2.7e15). */
-  private def mix(t: Column): Column =
-    pmod((t * t % M) * 2654435761L + lit(40503L) * t + 1299721L, lit(M))
+  /** One exact-int64 mix round as a Column (ExactMix — the shared
+    * three-face definition, so the oracle text cannot drift). */
+  private def mix(t: Column): Column = graft.functions.ExactMix.mixCol(t)
 
   /** Selection hash in [0, M): the key is folded through TWO mod-M limbs
     * (lo = key mod M, hi = ⌊key/M⌋ mod M) with the salt mixed into the
@@ -62,8 +61,7 @@ object Sampling {
     * contract). `passCols` are carried through each stage. */
   def selectionHashCtes(src: String, keySql: String, salt: Long,
       passCols: String): String = {
-    val mixSql =
-      s"((t*t % $M) * 2654435761 + 40503*t + 1299721) % $M"
+    val mixSql = graft.functions.ExactMix.mixSql("t")
     s"""s0 AS (SELECT $passCols, (($keySql) % $M + $salt) % $M AS t,
               (($keySql) // $M) % $M AS hi FROM $src),
        s1 AS (SELECT $passCols, hi, $mixSql AS t FROM s0),

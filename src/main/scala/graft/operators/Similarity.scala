@@ -51,9 +51,8 @@ object Similarity {
     * doubles, so the division result is the same IEEE value everywhere.
     * This replaces the round-1 xxhash64 family, which DuckDB could not
     * evaluate — it forced rows-only checks on the ANN gate queries. */
-  private val M = 1000003L
-  private def mix(t: Long): Long =
-    ((t * t % M) * 2654435761L + 40503L * t + 1299721L) % M
+  private val M = graft.functions.ExactMix.M
+  private def mix(t: Long): Long = graft.functions.ExactMix.mix(t)
 
   private val planeCache =
     scala.collection.concurrent.TrieMap.empty[(Int, Int), Seq[Seq[Double]]]

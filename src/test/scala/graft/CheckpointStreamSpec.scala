@@ -207,6 +207,11 @@ class CheckpointStreamSpec extends AnyFunSuite {
       Multimodal.parsePpm("P5\n1 1\n255\n0".getBytes) }
     assertThrows[IllegalArgumentException] {
       Multimodal.parsePpm("P6\n4 4\n255\n".getBytes ++ Array[Byte](1, 2, 3)) }
+    // adversarial header whose w*h*3 wraps Int32 (1431655766*3 = 2 after
+    // wrap) must fail LOUDLY, not return a silently bogus 2-pixel image
+    assertThrows[IllegalArgumentException] {
+      Multimodal.parsePpm(
+        "P6\n1431655766 1\n255\n".getBytes ++ Array[Byte](1, 2)) }
     // distributed decode over the batched path
     val media = Seq(Multimodal.MediaRow(7L, "image",
       Multimodal.encodePpm(2, 3, px), 2, 3)).toDS()
@@ -242,6 +247,16 @@ class CheckpointStreamSpec extends AnyFunSuite {
       Multimodal.parseWavPcm16("nope".getBytes) }
     assertThrows[IllegalArgumentException] {
       Multimodal.parseWavPcm16(java.util.Arrays.copyOfRange(wav, 0, 40)) }
+    // adversarial data-chunk size near Int.MaxValue: i+8+size wraps
+    // negative — must hit the bounds require, not a ~2GB allocation
+    val evil = wav.clone()
+    val evilSize = 2147483640
+    evil(40) = (evilSize & 0xff).toByte
+    evil(41) = ((evilSize >> 8) & 0xff).toByte
+    evil(42) = ((evilSize >> 16) & 0xff).toByte
+    evil(43) = ((evilSize >> 24) & 0xff).toByte
+    assertThrows[IllegalArgumentException] {
+      Multimodal.parseWavPcm16(evil) }
     // distributed decode
     val media = Seq(Multimodal.MediaRow(3L, "audio", wav, 0, 0)).toDS()
     val dec = Multimodal.decodeWav(media).collect().head

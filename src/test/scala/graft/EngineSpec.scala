@@ -83,6 +83,27 @@ class EngineSpec extends AnyFunSuite {
     assert(r.getAs[Long]("seg_duration_ns") > 0L)
   }
 
+  test("P5: binCount==0 outputs are excluded from summaries, not poisoned") {
+    // instants outputs (clicks) carry EMPTY value arrays — the reference
+    // skips binCount==0 outputs in value-space writers/summaries rather
+    // than emitting degenerate rows (AudioDBFeatureWriter binCount==0
+    // skip). A mean over clicks must yield ZERO summary rows...
+    val clickSpec = Seq(TransformSpec(id = "c", plugin = "graft:clicks",
+      summaryType = Some(SummaryType.Mean)))
+    val clickSums = Engine.summarize(Engine.run(seqs, clickSpec), clickSpec)
+    assert(clickSums.count() == 0L)
+    // ...and in a MIXED batch the valued transform still summarizes while
+    // the instants transform contributes nothing
+    val mixed = Seq(
+      TransformSpec(id = "m", plugin = "graft:energy",
+        output = "detectionfunction", summaryType = Some(SummaryType.Mean)),
+      TransformSpec(id = "c", plugin = "graft:clicks",
+        summaryType = Some(SummaryType.Mean)))
+    val sums = Engine.summarize(Engine.run(seqs, mixed), mixed)
+      .select($"transform_id").distinct().as[String].collect().toSet
+    assert(sums == Set("m"), s"instants transform leaked into summaries: $sums")
+  }
+
   test("transform spec XML parses the reference format") {
     val spec = TransformSpecs.parseXml(
       """<transform id="vamp:vamp-example-plugins:percussiononsets" program=""

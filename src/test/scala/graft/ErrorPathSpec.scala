@@ -118,6 +118,15 @@ class ErrorPathSpec extends AnyFunSuite {
     assert(es.getMessage.contains("unknown summary"), es.getMessage)
   }
 
+  test("--segments-from with a missing file raises IOException (clean CLI exit)") {
+    // main() catches IllegalArgumentException AND IOException for the
+    // exit-2 "use --help" path; pin that this misuse is one of those
+    val e = intercept[Exception] {
+      Main.parseArgs(Seq("--segments-from", "/no/such/graft/file"))
+    }
+    assert(e.isInstanceOf[java.io.IOException], e.getClass.toString)
+  }
+
   test("segment list: non-numeric field fails loudly (sloppy-parser rule)") {
     val e = intercept[IllegalArgumentException] {
       TransformSpecs.parseSegments("1.0\nbogus, 2.0\n")
