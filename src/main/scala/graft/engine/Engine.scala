@@ -83,6 +83,7 @@ object Engine {
       specs: Seq[TransformSpec],
       boundaries: Seq[Long] = Nil,
       inputEnds: Option[DataFrame] = None): DataFrame = {
+    val spark = features.sparkSession
     val wanted = specs.flatMap(s => s.summaryType.map(t => s.id -> t))
     require(wanted.nonEmpty, "no transform requests a summary")
     val byType = wanted.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
@@ -115,27 +116,40 @@ object Engine {
           .agg(max(col("w_end")).as("seg_end")),
         groupCols)
 
-    val pieces = byType.toSeq.sortBy(_._1.name).map { case (t, ids) =>
-      val valueCol: Column = t match {
-        case SummaryType.Count =>
-          array(col("count").cast("double"))
-        case SummaryType.Min => transform(col("min"), _.cast("double"))
-        case SummaryType.Max => transform(col("max"), _.cast("double"))
-        case SummaryType.Sum => col("sum")
-        case SummaryType.Mean => col("mean")
-        case SummaryType.Median => transform(col("median"), _.cast("double"))
-        case SummaryType.Mode => transform(col("mode"), _.cast("double"))
-        case SummaryType.Variance => col("variance")
-        case SummaryType.Sd => col("sd")
-      }
-      wide.where(col("transform_id").isin(ids: _*))
-        .select(col("doc_id"), col("transform_id"),
-          col("seg_start").as("seg_start_ns"),
-          (col("seg_end") - col("seg_start")).as("seg_duration_ns"),
-          lit(t.name).as("summary_name"),
-          valueCol.as("values"),
-          lit(t.label).as("label"))
+    // One pass, no per-type fan-out: each transform requests at most one
+    // summary type, so route rows through a broadcast (transform_id ->
+    // summary) lookup and select the value array with ONE CASE over the
+    // requested types. The vector Aggregator then executes exactly once
+    // per group — the reference's one-pass multi-summary ("a vital
+    // optimisation", FeatureExtractionManager.cpp:229-232, 998-1011). The
+    // previous union-branch shape shared the shuffle write (ReuseExchange)
+    // but re-ran the reduce-side Aggregator merge once per requested type:
+    // a 9-type request paid ~9x reduce CPU.
+    def valueOf(t: SummaryType): Column = t match {
+      case SummaryType.Count => array(col("count").cast("double"))
+      case SummaryType.Min => transform(col("min"), _.cast("double"))
+      case SummaryType.Max => transform(col("max"), _.cast("double"))
+      case SummaryType.Sum => col("sum")
+      case SummaryType.Mean => col("mean")
+      case SummaryType.Median => transform(col("median"), _.cast("double"))
+      case SummaryType.Mode => transform(col("mode"), _.cast("double"))
+      case SummaryType.Variance => col("variance")
+      case SummaryType.Sd => col("sd")
     }
-    pieces.reduce(_.unionByName(_))
+    val typeTable = spark.createDataFrame(
+      wanted.map { case (id, t) => (id, t.name, t.label) })
+      .toDF("transform_id", "summary_name", "label")
+    val branches = byType.keySet.toSeq.sortBy(_.name)
+    val valueCol = branches.tail
+      .foldLeft(when(col("summary_name") === branches.head.name, valueOf(branches.head))) {
+        (acc, t) => acc.when(col("summary_name") === t.name, valueOf(t))
+      }
+    wide.join(broadcast(typeTable), Seq("transform_id"))
+      .select(col("doc_id"), col("transform_id"),
+        col("seg_start").as("seg_start_ns"),
+        (col("seg_end") - col("seg_start")).as("seg_duration_ns"),
+        col("summary_name"),
+        valueCol.as("values"),
+        col("label"))
   }
 }

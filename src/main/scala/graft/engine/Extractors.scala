@@ -27,6 +27,13 @@ trait FeatureExtractor {
   /** One pass over sequences -> all outputs' feature rows. */
   def extract(seqs: DataFrame, spec: TransformSpec): DataFrame
 
+  /** Output descriptors for a CONFIGURED transform. Extractors whose bin
+    * count depends on the resolved block size (the reference's dynamic
+    * output descriptors, re-queried after initialise) override this;
+    * the no-arg [[outputs]] reports the preferred-block shape — what
+    * `--list`/`--skeleton` show before any transform is configured. */
+  def outputsFor(spec: TransformSpec): Seq[OutputDescriptor] = outputs
+
   /** Effective (step, block, rate) with the reference's defaulting rule
     * (transform override wins, else plugin preference;
     * FeatureExtractionManager.cpp:319-329,187-206). */
@@ -131,9 +138,17 @@ object EnergyExtractor extends FeatureExtractor {
   * the DuckDB oracle embeds verbatim — gate q53). */
 object SpectrumExtractor extends FeatureExtractor {
   val name = "graft:spectrum"
+  // block/2+1 at the PREFERRED block of 16 — the pre-configuration
+  // (--list/--skeleton) shape; [[outputsFor]] reports the configured
+  // block's true count
   def outputs: Seq[OutputDescriptor] = Seq(
     OutputDescriptor("magnitude", "Per-frame DFT magnitude spectrum",
-      OutputShape.GridOSS, 9)) // block/2+1 at the preferred block of 16
+      OutputShape.GridOSS, preferredBlock / 2 + 1))
+
+  override def outputsFor(spec: TransformSpec): Seq[OutputDescriptor] = {
+    val (_, block, _) = resolve(spec)
+    outputs.map(_.copy(binCount = block / 2 + 1))
+  }
 
   /** Taper-folded DFT coefficient matrices — shared with the oracle
     * builder so both engines use the IDENTICAL double literals. */

@@ -248,6 +248,28 @@ object Main {
     }
     val wantSummaries = specs.exists(_.summaryType.nonEmpty)
 
+    // per-(doc, transform) end of input in ns (n_tok positions at the
+    // spec's rate): the reference's file duration / end-of-input rule
+    def inputEnds(): DataFrame = specs.map { sp =>
+      val ex = Engine.registry(sp.plugin)
+      val (_, _, rate) = ex.resolve(sp)
+      seqs.select(col("doc_id").cast("string").as("doc_id"),
+        lit(sp.id).as("transform_id"),
+        (col("n_tok").cast("double") * (1e9 / rate)).cast("long")
+          .as("input_end_ns"))
+    }.reduce(_.unionByName(_))
+
+    // specs with effective step/block/rate filled in, for metadata-bearing
+    // sinks (the reference reports the transform's RESOLVED values)
+    def resolvedSpecs(): Seq[graft.model.TransformSpec] = specs.map { sp =>
+      Engine.registry.get(sp.plugin).fold(sp) { ex =>
+        val (st, bl, r) = ex.resolve(sp)
+        val out = if (sp.output.nonEmpty) sp.output
+          else ex.outputs.head.identifier
+        sp.copy(stepSize = st, blockSize = bl, sampleRate = r, output = out)
+      }
+    }
+
     def writeFeatures(): Unit = c.writer match {
       case "parquet" =>
         if (c.checkpointBuckets > 0) {
@@ -274,10 +296,28 @@ object Main {
           CsvSink.writePerTrackDistributed(lines, c.output, c.csv); ()
         } else { CsvSink.writePerTrack(lines, c.output, c.csv); () }
       case "jams" => JsonSink.writeJsonl(
-        features.withColumn("doc_id", col("doc_id").cast("string")), c.output)
-      case "rdf" => graft.sinks.RdfSink.writeTurtle(
-        features.withColumn("doc_id", col("doc_id").cast("string")),
-        specs, c.output, c.csv)
+        features.withColumn("doc_id", col("doc_id").cast("string")), c.output,
+        specs = resolvedSpecs(), digits = c.csv.digits,
+        inputEnds = Some(inputEnds()))
+      case "rdf" =>
+        // dense (one-sample-per-step) outputs take the windowed-timeline
+        // value-matrix form, sparse outputs stay timed events — the
+        // reference's RDF writer routes per output descriptor the same way
+        val dense = specs.flatMap { s =>
+          Engine.registry.get(s.plugin).flatMap { ex =>
+            val out = if (s.output.nonEmpty) s.output
+              else ex.outputs.head.identifier
+            ex.outputsFor(s).find(_.identifier == out).collect {
+              case d if d.shape == graft.model.OutputShape.CurveOSS ||
+                  d.shape == graft.model.OutputShape.GridOSS =>
+                val (st, bl, r) = ex.resolve(s)
+                s.id -> ((st, bl, r))
+            }
+          }
+        }.toMap
+        graft.sinks.RdfSink.writeTurtle(
+          features.withColumn("doc_id", col("doc_id").cast("string")),
+          specs, c.output, c.csv, dense)
       case "midi" =>
         graft.sinks.MidiSink.writeMidPerDoc(
           graft.sinks.MidiSink.toNotes(
@@ -293,17 +333,11 @@ object Main {
 
     if (!c.summaryOnly || !wantSummaries) writeFeatures()
     if (wantSummaries) {
-      // per-(doc, transform) end of input in ns (n_tok positions at the
-      // spec's rate): the reference extends the final durationless
-      // feature to the end of the input, not just to the last feature
-      val inputEnds = specs.map { sp =>
-        val ex = Engine.registry(sp.plugin)
-        val (_, _, rate) = ex.resolve(sp)
-        seqs.select(col("doc_id"), lit(sp.id).as("transform_id"),
-          (col("n_tok").cast("double") * (1e9 / rate)).cast("long")
-            .as("input_end_ns"))
-      }.reduce(_.unionByName(_))
-      val sums = Engine.summarize(features, specs, c.segments, Some(inputEnds))
+      // the reference extends the final durationless feature to the end
+      // of the input, not just to the last feature
+      val sums = Engine.summarize(
+        features.withColumn("doc_id", col("doc_id").cast("string")),
+        specs, c.segments, Some(inputEnds()))
       val lines = CsvSink.formatSummaries(
         sums.withColumn("doc_id", col("doc_id").cast("string")), c.csv)
       val target = if (c.summaryOnly) c.output

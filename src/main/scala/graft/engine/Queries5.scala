@@ -126,6 +126,32 @@ object Queries5 {
       defaultRate = 0.3, salt = 5L)
       .orderBy("doc_id")
 
+  // --------------------------------------------------------------- q56
+  /** Contamination VERDICT (round-4 item): q54's pair table composed
+    * into the per-benchmark-doc report pipelines act on — true match
+    * count, worst similarity, and the matched corpus ids (reported list
+    * capped at 100, modeled in the oracle; n_matches stays uncapped). */
+  def q56ContaminationReport(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.contaminationReport(q54Contamination(s, dir))
+      .select(col("id_r").as("bench_id"),
+        col("n_matches"),
+        round(col("max_est_jaccard"), 6).as("max_est_jaccard"),
+        array_join(transform(col("matched_ids"), i => i.cast("string")), ",")
+          .as("matched_ids"))
+      .orderBy("bench_id")
+
+  // --------------------------------------------------------------- q57
+  /** The contamination ACTION: dropContaminated removes every corpus doc
+    * CONFIDENTLY matching a benchmark doc (est_jaccard >= 0.9 — the
+    * 8-hash candidate net at 0.5 is deliberately loose; the drop step
+    * acts on the high-confidence verdicts) via anti join — the only
+    * touch on the corpus. Output = the surviving corpus ids. */
+  def q57DropContaminated(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.dropContaminated(
+      QueryUtil.docsTok(s, dir).select(col("doc_id")),
+      "doc_id", q54Contamination(s, dir).where(col("est_jaccard") >= 0.9))
+      .orderBy("doc_id")
+
   // ------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -133,7 +159,9 @@ object Queries5 {
     "q52_wav_decode" -> q52WavDecode,
     "q53_spectrum" -> q53Spectrum,
     "q54_contamination" -> q54Contamination,
-    "q55_sample" -> q55Sample)
+    "q55_sample" -> q55Sample,
+    "q56_contamination_report" -> q56ContaminationReport,
+    "q57_drop_contaminated" -> q57DropContaminated)
 
   /** ENGINE-computed taper-folded DFT coefficient literals (hanning,
     * block 16, 9 bins) formatted shortest-round-trip — DuckDB parses
@@ -154,9 +182,32 @@ object Queries5 {
   private val toksSql = QueryUtil.toksSql
   private def cut(r: Double) = graft.operators.Sampling.cutFor(r)
 
-  val oracle: Map[String, String] = Map(
+  private val oracle1: Map[String, String] = Map(
     "q54_contamination" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      s"""WITH $contaminationCtes
+         SELECT id_l, id_r, max(est_jaccard) AS est_jaccard FROM pairs
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q56_contamination_report" ->
+      s"""WITH $contaminationCtes,
+         agg AS (
+           SELECT id_l, id_r, max(est_jaccard) AS est_jaccard FROM pairs
+           GROUP BY 1, 2)
+         SELECT id_r AS bench_id, count(*) AS n_matches,
+                round(max(est_jaccard), 6) AS max_est_jaccard,
+                array_to_string(list_sort(list(DISTINCT id_l))[1:100], ',')
+                  AS matched_ids
+         FROM agg GROUP BY 1 ORDER BY 1""",
+    "q57_drop_contaminated" ->
+      s"""WITH $contaminationCtes
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT id_l FROM pairs WHERE est_jaccard >= 0.9)
+         ORDER BY doc_id""")
+
+  /** The q54 contamination CTE chain (exact pre-pass UNION capped banded
+    * LSH), shared verbatim by the q54/q56/q57 oracles so the three faces
+    * of the contamination story cannot drift. Ends with `pairs`. */
+  private def contaminationCtes: String =
+      s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          sig AS (
            SELECT doc_id AS id,
              list_transform(range(8), h ->
@@ -196,9 +247,9 @@ object Queries5 {
          pairs AS (
            SELECT id_l, id_r, est_jaccard FROM near
            WHERE est_jaccard >= 0.5
-           UNION ALL SELECT * FROM exact)
-         SELECT id_l, id_r, max(est_jaccard) AS est_jaccard FROM pairs
-         GROUP BY 1, 2 ORDER BY 1, 2""",
+           UNION ALL SELECT * FROM exact)"""
+
+  private val oracle2: Map[String, String] = Map(
     "q55_sample" ->
       s"""WITH ${graft.operators.Sampling.selectionHashCtes(
              "documents", "doc_id", 5L, "doc_id, source")}
@@ -241,4 +292,6 @@ object Queries5 {
                   i -> (doc_id * 31 + i * 17) % 65536 - 32768)) AS BIGINT)
                   AS sample_sum
          FROM documents WHERE doc_id < 200 ORDER BY doc_id""")
+
+  val oracle: Map[String, String] = oracle1 ++ oracle2
 }

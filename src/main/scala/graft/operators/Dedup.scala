@@ -16,7 +16,81 @@ import graft.functions.TokenFeatures
   * should be capped with `maxBucket` which drops degenerate buckets rather
   * than letting one task own n² work.
   */
+/** Runtime reporting for bucket caps (the repo's "no silent caps" rule):
+  * a per-session QueryExecutionListener surfaces the `graft_cap_N`
+  * observations that [[Dedup]]'s capped stages emit, WARN-logging any
+  * nonzero drop and keeping the last observation per name for tests. */
+object CapMetrics {
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.operators.CapMetrics")
+  private val id = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val sessions = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+  private val last = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Long)]()
+
+  def nextId(): Int = id.incrementAndGet()
+
+  /** Last observed (dropped_rows, dropped_buckets, max_bucket) summed over
+    * every graft_cap observation seen so far, for assertions. */
+  def totalDroppedRows: Long = {
+    var t = 0L
+    last.values().forEach(v => t += v._1)
+    t
+  }
+
+  private val wipeouts = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Number of completed queries whose cap observation vanished from the
+    * final adaptive plan — which happens exactly when EVERY (band, bucket)
+    * group was capped (AQE propagates the empty join side and prunes the
+    * CollectMetrics stage from the reported plan). */
+  def totalWipeouts: Long = wipeouts.get()
+
+  def ensureListener(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (sessions.add(spark)) {
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith("graft_cap_")) {
+              def l(f: String): Long =
+                Option(row.getAs[Any](f)).fold(0L)(_.toString.toDouble.toLong)
+              val dropped = (l("dropped_rows"), l("dropped_buckets"), l("max_bucket"))
+              last.put(name, dropped)
+              if (dropped._1 > 0L)
+                log.warn(s"$name: bucket cap dropped ${dropped._1} rows in " +
+                  s"${dropped._2} oversized buckets (largest ${dropped._3}) — " +
+                  "near-dup recall is reduced for those groups; raise maxBucket " +
+                  "or widen the bucket space (nPlanes/bands), and rely on exact " +
+                  "dedup for identical payloads")
+            }
+          }
+          // an observation declared in the analyzed plan but absent from the
+          // final adaptive plan = total cap wipeout (AQE pruned the stage
+          // because EVERY group was capped away): zero pairs by CAP, not by
+          // similarity — the silent-recall-collapse case, made loud
+          val declared = qe.analyzed.collect {
+            case c: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics
+              if c.name.startsWith("graft_cap_") => c.name
+          }
+          val delivered = qe.observedMetrics.keySet
+          declared.filterNot(delivered).foreach { name =>
+            wipeouts.incrementAndGet()
+            log.warn(s"$name: cap observation missing from the final plan — " +
+              "every (band, bucket) group exceeded maxBucket and the stage " +
+              "was pruned; the empty pair output reflects the CAP, not true " +
+              "dissimilarity. Raise maxBucket or the bucket space " +
+              "(nPlanes/bands), or rely on exact dedup")
+          }
+        }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+      })
+    }
+}
+
 object Dedup {
+
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup")
 
   /** Exact dedup: keep the row with the smallest `idCol` per duplicate
     * group. One shuffle on the (hashed) content key. */
@@ -59,11 +133,35 @@ object Dedup {
       .withColumnRenamed("pos", "band")
   }
 
-  /** Drop rows of (band, bucket) groups over `maxBucket` members. */
-  private def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
+  /** Drop rows of (band, bucket) groups over `maxBucket` members.
+    *
+    * NO SILENT CAPS: every capped stage `observe`s (dropped_rows,
+    * dropped_buckets, max_bucket) under a `graft_cap_N` observation —
+    * collected during the run at zero extra passes — and [[CapMetrics]]
+    * WARN-logs any nonzero drop on query completion, so a recall collapse
+    * (e.g. small bucket space + default cap at corpus scale) is loud
+    * instead of a silently-empty pair list. */
+  private def capBuckets(banded: DataFrame, maxBucket: Int,
+      observed: Boolean = true): DataFrame = {
+    CapMetrics.ensureListener(banded.sparkSession)
     val wB = Window.partitionBy(col("band"), col("bucket"))
-    banded.withColumn("__n", count(lit(1)).over(wB))
-      .where(col("__n") <= maxBucket)
+    val sized = banded.withColumn("__n", count(lit(1)).over(wB))
+    // The observation may sit on only ONE consumer branch of a self-join:
+    // DeduplicateRelations clones a twice-consumed subtree, and two
+    // CollectMetrics nodes with one name cancel each other (observed
+    // metrics come back empty). Callers pass observed=false for the
+    // second leg.
+    val obs = if (observed)
+      sized.observe(s"graft_cap_${CapMetrics.nextId()}",
+        sum(when(col("__n") > maxBucket, lit(1L)).otherwise(lit(0L)))
+          .as("dropped_rows"),
+        // each dropped row contributes 1/|bucket| -> exact bucket count
+        round(sum(when(col("__n") > maxBucket,
+          lit(1.0) / col("__n")).otherwise(lit(0.0)))).cast("long")
+          .as("dropped_buckets"),
+        max(col("__n")).as("max_bucket"))
+    else sized
+    obs.where(col("__n") <= maxBucket)
   }
 
   /** Signature-estimated Jaccard: fraction of agreeing minhash slots. */
@@ -80,13 +178,13 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucket: Int = 1000,
       portableBucketKey: Boolean = false): DataFrame = {
-    val capped = capBuckets(
-      bandedMinhash(df, idCol, tokensCol, numHashes, bands, portableBucketKey),
-      maxBucket)
-    val a = capped.select(col("band"), col("bucket"),
+    val banded = bandedMinhash(df, idCol, tokensCol, numHashes, bands,
+      portableBucketKey)
+    val a = capBuckets(banded, maxBucket).select(col("band"), col("bucket"),
       col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = capped.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
+    val b = capBuckets(banded, maxBucket, observed = false)
+      .select(col("band"), col("bucket"),
+        col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -219,18 +317,54 @@ object Dedup {
       bandedMinhash(df, idCol, tokensCol, numHashes, bands, portableBucketKey)
         .withColumn("side", lit(side))
     // combined-side cap: the join cost is |L_b|·|R_b|
-    val capped = capBuckets(
-      banded(left, 0).unionByName(banded(right, 1)), maxBucket)
-    val a = capped.where(col("side") === 0).select(col("band"), col("bucket"),
-      col("id").as("id_l"), col("sig").as("sig_l"))
-    val b = capped.where(col("side") === 1).select(col("band"), col("bucket"),
-      col("id").as("id_r"), col("sig").as("sig_r"))
+    val combined = banded(left, 0).unionByName(banded(right, 1))
+    val a = capBuckets(combined, maxBucket)
+      .where(col("side") === 0).select(col("band"), col("bucket"),
+        col("id").as("id_l"), col("sig").as("sig_l"))
+    val b = capBuckets(combined, maxBucket, observed = false)
+      .where(col("side") === 1).select(col("band"), col("bucket"),
+        col("id").as("id_r"), col("sig").as("sig_r"))
     a.join(b, Seq("band", "bucket"))
       .select(col("id_l"), col("id_r"),
         estJaccard(col("sig_l"), col("sig_r"), numHashes).as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
       .dropDuplicates("id_l", "id_r")
   }
+
+  /** Contamination VERDICT: compose a cross-corpus pair table (from
+    * [[minhashLshPairsAcross]] / [[exactMatchesAcross]]) into the
+    * per-benchmark-doc report a pipeline acts on: match count, worst
+    * (max) similarity, and the matched corpus ids. The pair list is
+    * evidence; this is the actionable summary.
+    *
+    * `maxMatches` caps only the REPORTED id list (boilerplate benchmark
+    * docs can match thousands of corpus twins) — `n_matches` always
+    * carries the true count, so the cap is visible, not silent. The
+    * aggregation groups by the benchmark side (tiny at real scale):
+    * one shuffle sized by the pair table. */
+  def contaminationReport(
+      pairs: DataFrame,
+      lCol: String = "id_l",
+      rCol: String = "id_r",
+      scoreCol: String = "est_jaccard",
+      maxMatches: Int = 100): DataFrame =
+    pairs.groupBy(col(rCol))
+      .agg(count(lit(1)).as("n_matches"),
+        max(col(scoreCol)).as("max_" + scoreCol),
+        slice(array_sort(collect_set(col(lCol))), 1, maxMatches)
+          .as("matched_ids"))
+
+  /** Drop every corpus row whose id appears on the corpus side of a
+    * cross-corpus pair table: the train/test-overlap removal step. The
+    * anti join is the ONLY touch on the (huge) corpus — the pair table
+    * (and hence the distinct drop list) is bounded by true overlap. */
+  def dropContaminated(
+      corpus: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      lCol: String = "id_l"): DataFrame =
+    corpus.join(pairs.select(col(lCol).as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
 
   /** Connected components over a near-dup pair table -> (node, cluster)
     * with cluster = the minimum reachable id; training pipelines dedupe by
@@ -373,6 +507,18 @@ object Dedup {
       threshold: Double = 0.95,
       bands: Int = 1,
       maxBucket: Int = 1000): DataFrame = {
+    // Default-parameter trap, made loud: nPlanes=8 leaves only 256 buckets
+    // per band, so beyond ~bucketSpace*maxBucket rows TYPICAL buckets (not
+    // just degenerate ones) exceed the cap and recall collapses. The
+    // runtime drop is observed+logged by capBuckets/CapMetrics; this
+    // plan-time warning fires before any job runs.
+    val bucketSpace = bands.toLong << math.min(nPlanes, 40)
+    if (nPlanes <= 10)
+      log.warn(s"embeddingDupPairs: nPlanes=$nPlanes gives only " +
+        s"${1L << nPlanes} buckets/band; above ~${bucketSpace * maxBucket} " +
+        s"rows the maxBucket=$maxBucket cap will drop TYPICAL buckets and " +
+        "recall collapses — raise nPlanes (with more bands to keep recall) " +
+        "or maxBucket, and watch the graft_cap dropped_rows metric")
     val base = df.select(col(idCol).as("id"),
       transform(col(embCol), x => x.cast("double")).as("v"))
       .withColumn("n", Similarity.norm(col("v"))) // once per row, not per pair
@@ -382,11 +528,12 @@ object Dedup {
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
     // cap degenerate buckets (see scale note above)
-    val capped = capBuckets(banded, maxBucket)
-    val a = capped.select(col("band"), col("bucket"), col("id").as("id_a"),
-      col("v").as("v_a"), col("n").as("n_a"))
-    val b = capped.select(col("band"), col("bucket"), col("id").as("id_b"),
-      col("v").as("v_b"), col("n").as("n_b"))
+    val a = capBuckets(banded, maxBucket)
+      .select(col("band"), col("bucket"), col("id").as("id_a"),
+        col("v").as("v_a"), col("n").as("n_a"))
+    val b = capBuckets(banded, maxBucket, observed = false)
+      .select(col("band"), col("bucket"), col("id").as("id_b"),
+        col("v").as("v_b"), col("n").as("n_b"))
     a.join(b, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),

@@ -54,6 +54,18 @@ object Sampling {
   /** The integer cut for a rate (floor(rate·M)) — shared with oracles. */
   def cutFor(rate: Double): Long = math.floor(rate * M).toLong
 
+  /** Runtime enforcement of the non-negative-key contract: the engine's
+    * pmod/floor-div hash DOES produce a value for a negative key, but the
+    * oracle CTEs use plain `%`/`//` — a negative id would silently select
+    * DIFFERENT rows across the two faces. Fail loudly instead. */
+  private def nonNegative(keyCol: String): Column = {
+    val k = col(keyCol).cast("long")
+    when(k < 0, raise_error(concat(
+      lit(s"graft.Sampling: negative key in column '$keyCol' ("), k.cast("string"),
+      lit(") — deterministic hash sampling requires non-negative integral ids"))))
+      .otherwise(k)
+  }
+
   /** DuckDB CTE chain computing the selection hash as column `h` —
     * generated HERE, next to the Scala definition, so engine and oracle
     * cannot silently desynchronize (the QueryUtil one-definition rule).
@@ -73,7 +85,7 @@ object Sampling {
   def byHash(df: DataFrame, keyCol: String, rate: Double,
       salt: Long = 0L): DataFrame = {
     require(rate >= 0.0 && rate <= 1.0, s"rate $rate out of [0, 1]")
-    df.where(selectionHash(col(keyCol), salt) < cutFor(rate))
+    df.where(selectionHash(nonNegative(keyCol), salt) < cutFor(rate))
   }
 
   /** Stratified variant: per-stratum rates (e.g. up-sample curated
@@ -91,7 +103,7 @@ object Sampling {
     df.join(broadcast(rateTable),
         col(strataCol).cast("string") === col("__stratum"), "left")
       .withColumn("__cut", coalesce(col("__cut"), lit(cutFor(defaultRate))))
-      .where(selectionHash(col(keyCol), salt) < col("__cut"))
+      .where(selectionHash(nonNegative(keyCol), salt) < col("__cut"))
       .drop("__stratum", "__cut")
   }
 }

@@ -61,6 +61,18 @@ object RdfSink {
         Seq("    a vamp:Transform .")).mkString("\n")
     }.mkString("\n\n")
 
+  /** Per-doc file/signal/timeline block (shared by the sparse and dense
+    * emitters). */
+  private def signalBlockCol: Column = {
+    val doc = sane(col("doc_id"))
+    concat(
+      lit("<file://"), col("doc_id"), lit(">\n    mo:encodes :signal_"), doc,
+      lit(" ;\n    a mo:AudioFile .\n\n:signal_"), doc,
+      lit("\n    mo:time [\n        tl:onTimeLine :signal_timeline_"), doc,
+      lit(" ;\n        a tl:Interval\n    ] ;\n    a mo:Signal .\n\n:signal_timeline_"),
+      doc, lit("\n    a tl:Timeline .\n\n"))
+  }
+
   /** Distributed formatting: one Turtle block per feature row, plus one
     * signal/timeline block per doc (emitted with the doc's first row).
     * Returns (doc_id, transform_id, ts, line) for the one-file merger. */
@@ -70,12 +82,7 @@ object RdfSink {
     val wEvt = Window.partitionBy(col("doc_id"), col("transform_id"))
       .orderBy(col("ts"))
     val doc = sane(col("doc_id"))
-    val signalBlock = concat(
-      lit("<file://"), col("doc_id"), lit(">\n    mo:encodes :signal_"), doc,
-      lit(" ;\n    a mo:AudioFile .\n\n:signal_"), doc,
-      lit("\n    mo:time [\n        tl:onTimeLine :signal_timeline_"), doc,
-      lit(" ;\n        a tl:Interval\n    ] ;\n    a mo:Signal .\n\n:signal_timeline_"),
-      doc, lit("\n    a tl:Timeline .\n\n"))
+    val signalBlock = signalBlockCol
     val timeBnode = concat(
       lit("    event:time [\n        tl:at "), pt(col("ts")),
       when(col("duration").isNotNull,
@@ -105,13 +112,103 @@ object RdfSink {
       .select(col("doc_id"), col("transform_id"), col("ts"), col("line"))
   }
 
+  /** Dense-output formatting — the reference's windowed-timeline + value
+    * matrix form (RDFFeatureWriter dense mode; the documented shape is
+    * /root/reference/feature-description-example.n3:46-82):
+    *
+    *   :feature_timeline_<doc>_<tid>      a tl:DiscreteTimeLine .
+    *   :feature_timeline_map_<doc>_<tid>  a tl:UniformSamplingWindowingMap ;
+    *       tl:rangeTimeLine/domainTimeLine ... ;
+    *       tl:sampleRate / tl:windowLength / tl:hopSize .
+    *   :feature_interval_<doc>_<tid>      a tl:Interval (in HOPS) .
+    *   :feature_<doc>_<tid>  mo:time :feature_interval_... ;
+    *       af:dimensions "<bins> <frames>" ; af:value "<matrix>" .
+    *
+    * One output row per (doc, transform): per-group state is the doc's own
+    * frames (bounded by doc length, like every per-doc sink path), shuffled
+    * once. Returns (doc_id, transform_id, ts=-1, line) rows — the ts=-1
+    * sorts the timeline/feature block before any event rows of the same
+    * transform in the one-file merge. */
+  def formatDenseFeatures(features: DataFrame, spec: TransformSpec,
+      step: Int, block: Int, rate: Double): DataFrame = {
+    val g = CsvSink.gFormat(6)
+    val rateLit =
+      if (rate == math.rint(rate)) s""""${rate.toLong}"^^xsd:int"""
+      else s""""$rate"^^xsd:float"""
+    val grouped = features
+      .where(col("transform_id") === spec.id)
+      .groupBy(col("doc_id"), col("transform_id"))
+      .agg(
+        count(lit(1)).as("nframes"),
+        max(size(col("values"))).as("nbins"),
+        array_join(flatten(transform(
+          array_sort(collect_list(struct(col("ts"), col("values")))),
+          s => transform(s.getField("values"), v => g(v)))), " ").as("vals"))
+    val doc = sane(col("doc_id"))
+    val tid = sane(col("transform_id"))
+    val key = concat(doc, lit("_"), tid)
+    val line = concat(
+      lit(":feature_timeline_"), key, lit("\n    a tl:DiscreteTimeLine .\n\n"),
+      lit(":feature_timeline_map_"), key,
+      lit("\n    a tl:UniformSamplingWindowingMap ;\n    tl:rangeTimeLine :feature_timeline_"),
+      key, lit(" ;\n    tl:domainTimeLine :signal_timeline_"), doc,
+      lit(s" ;\n    tl:sampleRate $rateLit ;\n    tl:windowLength " +
+        s""""$block"^^xsd:int ;\n    tl:hopSize "$step"^^xsd:int .\n\n"""),
+      lit(":feature_interval_"), key,
+      lit("\n    a tl:Interval ;\n    tl:onTimeLine :feature_timeline_"), key,
+      lit(" ;\n    tl:beginsAt \"0\"^^xsd:int ;\n    tl:duration \""),
+      col("nframes").cast("string"),
+      lit("\"^^xsd:int .\n\n"),
+      lit(":signal_"), doc, lit(" af:signal_feature :feature_"), key, lit(" .\n\n"),
+      lit(":feature_"), key,
+      lit("\n    mo:time :feature_interval_"), key,
+      lit(" ;\n    af:dimensions \""), col("nbins").cast("string"), lit(" "),
+      col("nframes").cast("string"),
+      lit("\" ;\n    af:value \""), col("vals"),
+      lit("\" ;\n    vamp:computed_by :transform_"), col("transform_id"),
+      lit(" ;\n    a af:Feature .\n"))
+    grouped.select(col("doc_id"), col("transform_id"),
+      lit(-1L).as("ts"), line.as("line"))
+  }
+
   /** One Turtle document: prefixes + transform blocks (driver-side) +
-    * distributed signal/event blocks merged via the one-file writer. */
+    * distributed signal/event blocks merged via the one-file writer.
+    *
+    * `dense` maps transform id -> (stepSize, blockSize, sampleRate) for
+    * transforms whose output is dense (one sample per step): those are
+    * written in the windowed-timeline matrix form via
+    * [[formatDenseFeatures]]; everything else stays a sparse timed event
+    * (the reference routes per output descriptor the same way). */
   def writeTurtle(features: DataFrame, specs: Seq[TransformSpec],
-      path: String, opts: CsvSink.Options): Unit = {
+      path: String, opts: CsvSink.Options,
+      dense: Map[String, (Int, Int, Double)] = Map.empty): Unit = {
     val header = features.sparkSession
-      .createDataFrame(Seq(("", "", -1L, prefixes + "\n" + transformBlocks(specs) + "\n")))
+      .createDataFrame(Seq(("", "", -2L, prefixes + "\n" + transformBlocks(specs) + "\n")))
       .toDF("doc_id", "transform_id", "ts", "line")
-    CsvSink.writeOneFile(header.unionByName(formatFeatures(features)), path, opts)
+    val denseIds = dense.keySet.toSeq.sorted
+    val sparseFeat =
+      if (denseIds.isEmpty) features
+      else features.where(!col("transform_id").isin(denseIds: _*))
+    val denseParts = specs.filter(s => dense.contains(s.id)).map { s =>
+      val (st, bl, r) = dense(s.id)
+      formatDenseFeatures(features, s, st, bl, r)
+    }
+    // docs whose features are ALL dense still need their signal/timeline
+    // block (the sparse formatter attaches it to a doc's first event row);
+    // both sides of this anti join are tiny distinct-doc lists
+    val denseOnlySignals =
+      if (denseIds.isEmpty) None
+      else Some(
+        features.where(col("transform_id").isin(denseIds: _*))
+          .select(col("doc_id").cast("string").as("doc_id")).distinct()
+          .join(sparseFeat.select(col("doc_id").cast("string").as("doc_id"))
+            .distinct(), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), lit("").as("transform_id"),
+            lit(-2L).as("ts"), signalBlockCol.as("line")))
+    val sparsePart =
+      if (denseIds.isEmpty) Some(formatFeatures(features))
+      else Some(formatFeatures(sparseFeat))
+    val parts = Seq(header) ++ denseOnlySignals ++ sparsePart ++ denseParts
+    CsvSink.writeOneFile(parts.reduce(_.unionByName(_)), path, opts)
   }
 }

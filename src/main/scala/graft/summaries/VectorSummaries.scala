@@ -113,67 +113,121 @@ object VectorSummaries {
 
   final case class MedianModeOut(median: Seq[Float], mode: Seq[Float])
 
-  /** Per-bin continuous-time weighted median + mode. State is one
-    * value→span map per bin; suitable when per-bin distinct values are
+  /** Median/mode partial state: per bin, a value→total-span table kept as
+    * PARALLEL SORTED ARRAYS (keys ascending in java.util.Arrays total
+    * order: -0.0 < 0.0, NaN last — the same order the finisher needs).
+    * Product-encoded: partials spill/shuffle as columnar UnsafeRows
+    * (nested float/double arrays), not opaque Kryo blobs. */
+  final case class MMBuf(var keys: Array[Array[Float]], var ws: Array[Array[Double]])
+
+  /** Per-bin continuous-time weighted median + mode. State is one sorted
+    * value→span table per bin; suitable when per-bin distinct values are
     * bounded (e.g. token-derived features). For unbounded-cardinality bins
     * use the explode + Summaries.summarizeScalar path instead. */
-  class VectorMedianModeAgg
-      extends Aggregator[VW, Array[scala.collection.mutable.HashMap[Float, Double]], MedianModeOut] {
-    type Buf = Array[scala.collection.mutable.HashMap[Float, Double]]
+  class VectorMedianModeAgg extends Aggregator[VW, MMBuf, MedianModeOut] {
 
-    def zero: Buf = Array.empty
+    def zero: MMBuf = MMBuf(Array.empty, Array.empty)
 
-    private def growBuf(b: Buf, n: Int): Buf =
-      if (b.length >= n) b
-      else Array.tabulate(n)(i =>
-        if (i < b.length) b(i) else scala.collection.mutable.HashMap.empty[Float, Double])
+    private def growBuf(b: MMBuf, n: Int): MMBuf = {
+      if (b.keys.length < n) {
+        b.keys = Array.tabulate(n)(i => if (i < b.keys.length) b.keys(i) else Array.empty[Float])
+        b.ws = Array.tabulate(n)(i => if (i < b.ws.length) b.ws(i) else Array.empty[Double])
+      }
+      b
+    }
 
-    def reduce(b0: Buf, in: VW): Buf = {
+    /** Sorted insert-or-add; O(log k) hit, O(k) copy on a new distinct
+      * value — k is bounded by contract, and the arrays stay finish-ready. */
+    private def add(b: MMBuf, bin: Int, v: Float, w: Double): Unit = {
+      val ks = b.keys(bin)
+      val idx = java.util.Arrays.binarySearch(ks, v)
+      if (idx >= 0) b.ws(bin)(idx) += w
+      else {
+        val ins = -idx - 1
+        val nk = new Array[Float](ks.length + 1)
+        val nw = new Array[Double](ks.length + 1)
+        System.arraycopy(ks, 0, nk, 0, ins)
+        System.arraycopy(b.ws(bin), 0, nw, 0, ins)
+        nk(ins) = v; nw(ins) = w
+        System.arraycopy(ks, ins, nk, ins + 1, ks.length - ins)
+        System.arraycopy(b.ws(bin), ins, nw, ins + 1, ks.length - ins)
+        b.keys(bin) = nk; b.ws(bin) = nw
+      }
+    }
+
+    def reduce(b0: MMBuf, in: VW): MMBuf = {
       if (in.values == null) return b0
       val b = growBuf(b0, in.values.length)
       var i = 0
       while (i < in.values.length) {
-        val m = b(i)
-        m.update(in.values(i), m.getOrElse(in.values(i), 0.0) + in.w)
+        add(b, i, in.values(i), in.w)
         i += 1
       }
       b
     }
 
-    def merge(a0: Buf, c: Buf): Buf = {
-      val a = growBuf(a0, c.length)
+    def merge(a0: MMBuf, c: MMBuf): MMBuf = {
+      val a = growBuf(a0, c.keys.length)
       var i = 0
-      while (i < c.length) {
-        c(i).foreach { case (v, w) => a(i).update(v, a(i).getOrElse(v, 0.0) + w) }
+      while (i < c.keys.length) {
+        val ck = c.keys(i); val cw = c.ws(i)
+        val ak = a.keys(i); val aw = a.ws(i)
+        if (ak.isEmpty) { a.keys(i) = ck; a.ws(i) = cw }
+        else {
+          // linear merge of two sorted tables
+          val nk = new Array[Float](ak.length + ck.length)
+          val nw = new Array[Double](ak.length + ck.length)
+          var x = 0; var y = 0; var z = 0
+          while (x < ak.length && y < ck.length) {
+            val cmp = java.lang.Float.compare(ak(x), ck(y))
+            if (cmp == 0) { nk(z) = ak(x); nw(z) = aw(x) + cw(y); x += 1; y += 1 }
+            else if (cmp < 0) { nk(z) = ak(x); nw(z) = aw(x); x += 1 }
+            else { nk(z) = ck(y); nw(z) = cw(y); y += 1 }
+            z += 1
+          }
+          while (x < ak.length) { nk(z) = ak(x); nw(z) = aw(x); x += 1; z += 1 }
+          while (y < ck.length) { nk(z) = ck(y); nw(z) = cw(y); y += 1; z += 1 }
+          a.keys(i) = java.util.Arrays.copyOf(nk, z)
+          a.ws(i) = java.util.Arrays.copyOf(nw, z)
+        }
         i += 1
       }
       a
     }
 
-    def finish(b: Buf): MedianModeOut = {
-      val med = new Array[Float](b.length)
-      val mode = new Array[Float](b.length)
+    def finish(b: MMBuf): MedianModeOut = {
+      val med = new Array[Float](b.keys.length)
+      val mode = new Array[Float](b.keys.length)
       var i = 0
-      while (i < b.length) {
-        val entries = b(i).toArray.sortBy(_._1)
-        val total = entries.map(_._2).sum
+      while (i < b.keys.length) {
+        val ks = b.keys(i); val ws = b.ws(i)
+        var total = 0.0
+        var j = 0
+        while (j < ws.length) { total += ws(j); j += 1 }
         var cum = 0.0
         var m = Float.NaN
-        var j = 0
-        while (j < entries.length && m.isNaN) {
-          cum += entries(j)._2
-          if (cum >= total / 2.0) m = entries(j)._1
+        j = 0
+        while (j < ks.length && m.isNaN) {
+          cum += ws(j)
+          if (cum >= total / 2.0) m = ks(j)
           j += 1
         }
         med(i) = m
-        // mode: greatest total span; ties -> smallest value (entries sorted asc)
-        mode(i) = if (entries.isEmpty) Float.NaN else entries.maxBy(_._2)._1
+        // mode: greatest total span; ties -> smallest value (keys ascending,
+        // strict > keeps the first = smallest)
+        var best = Float.NaN; var bestW = Double.NegativeInfinity
+        j = 0
+        while (j < ks.length) {
+          if (ws(j) > bestW) { bestW = ws(j); best = ks(j) }
+          j += 1
+        }
+        mode(i) = best
         i += 1
       }
       MedianModeOut(med.toSeq, mode.toSeq)
     }
 
-    def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
+    def bufferEncoder: Encoder[MMBuf] = Encoders.product[MMBuf]
     def outputEncoder: Encoder[MedianModeOut] = Encoders.product[MedianModeOut]
   }
 

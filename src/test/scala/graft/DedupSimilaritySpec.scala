@@ -196,6 +196,99 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(s4.subsetOf(s1))
   }
 
+  test("banded embedding LSH recall vs the exact baseline (sf0.1, q39 params)") {
+    import graft.operators.{Dedup, Similarity}
+    // the structural claim behind bands=2 in q39/q40, measured: recall
+    // against the q33 exact all-pairs baseline at the gate threshold,
+    // banded >= single-signature (a single 8-bit signature loses any pair
+    // disagreeing on ONE sign bit; a second band recovers pairs the first
+    // loses)
+    val e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val v = e.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("n", Similarity.norm(col("v")))
+    val a = v.select(col("vec_id").as("id_a"), col("v").as("v_a"), col("n").as("n_a"))
+    val b = v.select(col("vec_id").as("id_b"), col("v").as("v_b"), col("n").as("n_b"))
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.selectExpr("cast(id_a as long)", "cast(id_b as long)")
+        .as[(Long, Long)].collect().toSet
+    val exact = pairSet(a.join(broadcast(b), col("id_a") < col("id_b"))
+      .where(Similarity.cosinePre(col("v_a"), col("v_b"),
+        col("n_a"), col("n_b")) >= 0.35))
+    def lsh(bands: Int) = pairSet(Dedup.embeddingDupPairs(e, "vec_id",
+      "embedding", dim = 64, nPlanes = 8, threshold = 0.35,
+      bands = bands, maxBucket = 1000))
+    val r1 = (lsh(1) intersect exact).size.toDouble / math.max(exact.size, 1)
+    val r2 = (lsh(2) intersect exact).size.toDouble / math.max(exact.size, 1)
+    info(f"exact pairs ${exact.size}; recall bands=1 $r1%.3f, bands=2 $r2%.3f")
+    assert(exact.nonEmpty)
+    assert(r2 >= r1, f"banded recall $r2%.3f < single-signature $r1%.3f")
+    assert(r2 > 0.0)
+  }
+
+  test("negative sampling keys fail loudly (engine/oracle face agreement)") {
+    import graft.operators.Sampling
+    // the oracle CTEs use plain %, the engine pmod: a negative key would
+    // silently select DIFFERENT rows across the two faces — both entry
+    // points must raise instead
+    val df = spark.range(-5, 5).toDF("id")
+    val e = intercept[Exception] {
+      Sampling.byHash(df, "id", 0.5).collect()
+    }
+    assert(e.getMessage.contains("negative key") ||
+      Option(e.getCause).exists(_.getMessage.contains("negative key")),
+      e.getMessage)
+    val e2 = intercept[Exception] {
+      Sampling.stratifiedByHash(df.withColumn("s", lit("x")), "id", "s",
+        Map.empty, defaultRate = 0.5).collect()
+    }
+    assert(e2.getMessage.contains("negative key") ||
+      Option(e2.getCause).exists(_.getMessage.contains("negative key")),
+      e2.getMessage)
+    // non-negative keys are unaffected
+    assert(Sampling.byHash(spark.range(100).toDF("id"), "id", 1.0).count() == 100)
+  }
+
+  test("bucket caps are observed and reported, never silent") {
+    import graft.operators.{CapMetrics, Dedup}
+    val before = CapMetrics.totalDroppedRows
+    // 30 identical embeddings land in ONE bucket > maxBucket=10 (all
+    // dropped by the cap — must be observed) while 4 duplicate vectors in
+    // another bucket survive and pair up
+    val hot = spark.range(30).select(col("id"),
+      array(lit(1.0f), lit(0.0f), lit(0.0f), lit(0.0f)).as("emb"))
+    val dup = spark.range(100, 104).select(col("id"),
+      array(lit(0.0f), lit(1.0f), lit(0.5f), lit(0.0f)).as("emb"))
+    val pairs = Dedup.embeddingDupPairs(hot.unionByName(dup), "id", "emb",
+      dim = 4, nPlanes = 4, threshold = 0.9, maxBucket = 10)
+    assert(pairs.count() == 6L) // C(4,2) among the survivors; hot capped away
+    // QueryExecutionListener delivery is async on the listener bus
+    val deadline = System.currentTimeMillis() + 15000
+    while (CapMetrics.totalDroppedRows - before < 30L &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(CapMetrics.totalDroppedRows - before >= 30L,
+      s"cap dropped rows not observed (delta ${CapMetrics.totalDroppedRows - before})")
+  }
+
+  test("TOTAL cap wipeout (empty result pruned by AQE) is still detected") {
+    import graft.operators.{CapMetrics, Dedup}
+    val before = CapMetrics.totalWipeouts
+    // EVERY bucket exceeds the cap -> AQE prunes the empty join and the
+    // observation never reaches the final plan; the listener detects the
+    // declared-but-missing observation instead
+    val vecs = spark.range(50).select(col("id"),
+      array(lit(1.0f), lit(0.0f), lit(0.0f), lit(0.0f)).as("emb"))
+    val pairs = Dedup.embeddingDupPairs(vecs, "id", "emb", dim = 4,
+      nPlanes = 4, threshold = 0.9, maxBucket = 10)
+    assert(pairs.count() == 0L)
+    val deadline = System.currentTimeMillis() + 15000
+    while (CapMetrics.totalWipeouts == before &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(CapMetrics.totalWipeouts > before,
+      "total cap wipeout not reported")
+  }
+
   test("stratified sampling applies per-stratum rates map-side") {
     import graft.operators.Sampling
     val df = spark.range(30000).toDF("id")

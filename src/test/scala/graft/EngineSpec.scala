@@ -104,6 +104,33 @@ class EngineSpec extends AnyFunSuite {
     assert(sums == Set("m"), s"instants transform leaked into summaries: $sums")
   }
 
+  test("multi-type summary executes the vector aggregator ONCE (no fan-out)") {
+    def mk(ts: Seq[(String, SummaryType)]) = ts.map { case (id, t) =>
+      TransformSpec(id = id, plugin = "graft:energy",
+        output = "detectionfunction", summaryType = Some(t))
+    }
+    val one = mk(Seq("a" -> SummaryType.Mean))
+    val three = mk(Seq("a" -> SummaryType.Mean, "b" -> SummaryType.Sum,
+      "c" -> SummaryType.Variance))
+    // the aggregator must appear in the SAME number of plan nodes for a
+    // 3-type request as for a 1-type request: summary routing is a
+    // broadcast lookup + CASE, not per-type union branches each re-running
+    // the reduce-side Aggregator merge
+    def aggCount(specs: Seq[TransformSpec]): Int = {
+      val out = Engine.summarize(Engine.run(seqs, specs), specs)
+      "vectormomentsagg".r
+        .findAllIn(out.queryExecution.executedPlan.toString.toLowerCase).length
+    }
+    val c1 = aggCount(one)
+    assert(c1 > 0)
+    assert(aggCount(three) == c1)
+    // and rows still route to their transform's requested type
+    val out = Engine.summarize(Engine.run(seqs, three), three)
+    val names = out.select("transform_id", "summary_name").distinct()
+      .as[(String, String)].collect().toSet
+    assert(names == Set("a" -> "mean", "b" -> "sum", "c" -> "variance"))
+  }
+
   test("transform spec XML parses the reference format") {
     val spec = TransformSpecs.parseXml(
       """<transform id="vamp:vamp-example-plugins:percussiononsets" program=""

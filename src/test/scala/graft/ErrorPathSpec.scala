@@ -1,6 +1,6 @@
 package graft
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.Files
 import org.scalatest.funsuite.AnyFunSuite
 import graft.engine.{Main, TransformSpecs}
 
@@ -10,11 +10,17 @@ import graft.engine.{Main, TransformSpecs}
   * per-input expected text files) and tests/test-helpfulflags/test-helpfulflags.sh:5-12
   * (CLI misuse: no args fails pointing at help, --help prints usage,
   * unknown flags are clean errors). The first seven inputs are the
-  * VERBATIM reference fixtures under tests/test-parse-errors/inputs. */
+  * VERBATIM reference fixtures (tests/test-parse-errors/inputs), vendored
+  * into src/test/resources/fixtures/parse-errors so the suite runs
+  * without the reference checkout. */
 class ErrorPathSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  private val refInputs = "/root/reference/tests/test-parse-errors/inputs"
+  private def fixtureBytes(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/fixtures/parse-errors/$name")
+    require(in != null, s"missing vendored fixture $name")
+    try in.readAllBytes() finally in.close()
+  }
 
   private def tmpWith(name: String, bytes: Array[Byte]): String = {
     val d = Files.createTempDirectory("grafterr")
@@ -54,8 +60,7 @@ class ErrorPathSpec extends AnyFunSuite {
 
   parseMatrix.foreach { case (input, fragments) =>
     test(s"parse-error fidelity: $input fails with a pinned diagnostic") {
-      val src = Paths.get(refInputs, input)
-      val local = tmpWith(input, Files.readAllBytes(src))
+      val local = tmpWith(input, fixtureBytes(input))
       val msg = loadError(local)
       fragments.foreach { frag =>
         assert(msg.contains(frag),

@@ -88,6 +88,49 @@ class N3Spec extends AnyFunSuite {
       Map("sensitivity" -> 40.0, "threshold" -> 3.0))
   }
 
+  test("dense output writes the windowed-timeline matrix form and round-trips") {
+    // the reference's dense RDF form (feature-description-example.n3:46-82):
+    // tl:UniformSamplingWindowingMap + hop-unit interval + value matrix
+    val in = Files.createTempDirectory("graftrdfd").toString + "/seqs"
+    SequenceGen.generate(spark, 5, maxLen = 64, seed = 11L).write.parquet(in)
+    val out = Files.createTempDirectory("graftrdfdout").toString + "/feat.ttl"
+    val tf = Files.createTempDirectory("graftrdfdtf").toString + "/t.json"
+    Files.writeString(Paths.get(tf),
+      """[{"id": "fr", "plugin": "graft:histogram", "output": "grid",
+        |  "step_size": 8, "block_size": 16}]""".stripMargin)
+    Main.run(spark, Main.parseArgs(Seq(
+      "--input", in, "--transforms", tf,
+      "--writer", "rdf", "--output", out, "--one-file")))
+    val ttl = Files.readString(Paths.get(out))
+    // windowed-timeline graph, with the spec's real step/block/rate
+    assert(ttl.contains("a tl:UniformSamplingWindowingMap"))
+    assert(ttl.contains("tl:windowLength \"16\"^^xsd:int"))
+    assert(ttl.contains("tl:hopSize \"8\"^^xsd:int"))
+    assert(ttl.contains("tl:sampleRate \"1000\"^^xsd:int"))
+    assert(ttl.contains("a tl:DiscreteTimeLine"))
+    assert(ttl.contains("tl:domainTimeLine :signal_timeline_doc_0000000001"))
+    // docs with only dense features still carry their signal block
+    assert(ttl.contains("mo:encodes :signal_doc_0000000001"))
+    // dense features are a matrix, NOT per-event rows
+    assert(!ttl.contains("a tl:Instant"))
+    assert(ttl.contains(":signal_doc_0000000001 af:signal_feature :feature_doc_0000000001_fr"))
+    // dimensions "16 <nframes>" and a value matrix of 16*nframes numbers
+    val dims = "af:dimensions \"(\\d+) (\\d+)\"".r.findFirstMatchIn(ttl).get
+    assert(dims.group(1).toInt == 16)
+    val nframes = dims.group(2).toInt
+    assert(nframes > 0)
+    val value = "af:value \"([^\"]+)\"".r.findFirstMatchIn(ttl).get.group(1)
+    assert(value.split(" ").length == 16 * nframes)
+    // interval measured in hops on the feature timeline
+    assert(ttl.contains(s"""tl:duration "$nframes"^^xsd:int"""))
+    // round-trip: the emitted Turtle still parses back to the transform
+    val back = TransformSpecs.parseN3(ttl)
+    assert(back.size == 1)
+    assert(back.head.plugin == "graft:histogram")
+    assert(back.head.output == "grid")
+    assert(back.head.stepSize == 8 && back.head.blockSize == 16)
+  }
+
   test("end-to-end CLI run from a verbatim reference .n3 file") {
     val in = Files.createTempDirectory("graftn3").toString + "/seqs"
     SequenceGen.generate(spark, 10, seed = 5L).write.parquet(in)

@@ -245,6 +245,85 @@ class SinksSpec extends AnyFunSuite {
       "\"docA\",0.000000000,9.750000000,mean,0.553846,\"(mean value, continuous-time average)\"")
   }
 
+  test("JAMS golden matrix: full documents per output shape") {
+    // the per-shape golden table mirroring the reference's
+    // tests/test-jams-writer/expected/{instants,curve-fsr,notes-regions,
+    // grid-oss,af-2}.json field structure: label-as-value for 0-bin
+    // instants (no label key), scalar value + label for curves, 9-decimal
+    // durations for notes, array value for grids, digits option honored
+    import graft.model.TransformSpec
+    val spec = TransformSpec(id = "t1", plugin = "graft:test", output = "out",
+      stepSize = 8, blockSize = 16, sampleRate = 1000.0,
+      parameters = Map("sens" -> 40.0))
+    val meta = "{ \"file_metadata\": { \"jams_version\": \"0.2.0\", " +
+      "\"identifiers\": { \"filename\": \"dA\" }, \"duration\": %s }, " +
+      "\"annotations\": [ { \"namespace\": \"unknown\", " +
+      "\"annotation_metadata\": { \"annotation_tools\": \"Graft\", " +
+      "\"data_source\": \"Automatic feature extraction\", \"annotator\": " +
+      "{ \"plugin_id\": \"graft:test\", \"output_id\": \"out\", " +
+      "\"step_size\": 8, \"block_size\": 16, \"sample_rate\": 1000, " +
+      "\"parameters\": { \"sens\": 40 }, \"transform_id\": \"t1\" } }, " +
+      "\"data\": [ %s ] } ] }"
+    def doc(rows: Seq[(Long, Option[Long], Seq[Float], String)]) =
+      rows.map { case (ts, d, vs, l) => ("dA", "t1", ts, d, vs, l) }
+        .toDF("doc_id", "transform_id", "ts", "duration", "values", "label")
+    val matrix: Seq[(String, Seq[(Long, Option[Long], Seq[Float], String)], Int, String)] = Seq(
+      ("instants",
+        Seq((0L, None, Seq.empty[Float], "1 of 2"),
+          ((15 * S) / 10, None, Seq.empty[Float], "2 of 2")), 6,
+        meta.format("1.500000000",
+          "{ \"time\": 0.000000000, \"duration\": 0.0, \"confidence\": 1.0, " +
+            "\"value\": \"1 of 2\" }, " +
+            "{ \"time\": 1.500000000, \"duration\": 0.0, \"confidence\": 1.0, " +
+            "\"value\": \"2 of 2\" }")),
+      ("curve",
+        Seq((0L, None, Seq(0.0f), "1 of 2"), ((4 * S) / 10, None, Seq(0.1f), "2 of 2")), 6,
+        meta.format("0.400000000",
+          "{ \"time\": 0.000000000, \"duration\": 0.0, \"confidence\": 1.0, " +
+            "\"label\": \"1 of 2\", \"value\": 0 }, " +
+            "{ \"time\": 0.400000000, \"duration\": 0.0, \"confidence\": 1.0, " +
+            "\"label\": \"2 of 2\", \"value\": 0.1 }")),
+      ("notes-with-durations",
+        Seq((0L, Some((175 * S) / 100), Seq(0.0f), "n1"),
+          (1 * S, Some(S / 2), Seq(0.1f), "n2")), 6,
+        meta.format("1.750000000",
+          "{ \"time\": 0.000000000, \"duration\": 1.750000000, " +
+            "\"confidence\": 1.0, \"label\": \"n1\", \"value\": 0 }, " +
+            "{ \"time\": 1.000000000, \"duration\": 0.500000000, " +
+            "\"confidence\": 1.0, \"label\": \"n2\", \"value\": 0.1 }")),
+      ("grid",
+        Seq((0L, None, Seq(0.0666667f, 0.1f, 0.133333f), "g1")), 6,
+        meta.format("0.000000000",
+          "{ \"time\": 0.000000000, \"duration\": 0.0, \"confidence\": 1.0, " +
+            "\"label\": \"g1\", \"value\": [ 0.0666667, 0.1, 0.133333 ] }")),
+      ("digits-2 (af-2 analog)",
+        Seq((0L, None, Seq(0.00359596f), "")), 2,
+        meta.format("0.000000000",
+          "{ \"time\": 0.000000000, \"duration\": 0.0, \"confidence\": 1.0, " +
+            "\"value\": 0.0036 }")))
+    matrix.foreach { case (name, rows, digits, expected) =>
+      val got = JsonSink.toJams(doc(rows), Seq(spec), digits)
+        .select("jams").as[String].collect().head
+      assert(got == expected, s"JAMS golden mismatch for $name:\nGOT  $got\nWANT $expected")
+      // and every golden parses as JSON with the reference's key paths
+      val p = org.json4s.jackson.JsonMethods.parse(got)
+      assert((p \ "file_metadata" \ "jams_version") ==
+        org.json4s.JString("0.2.0"), name)
+      assert((p \\ "annotator" \ "plugin_id") ==
+        org.json4s.JString("graft:test"), name)
+    }
+  }
+
+  test("JAMS file_metadata.duration uses inputEnds when provided") {
+    val feats = Seq(("dA", "t1", 0L, None: Option[Long], Seq(1.0f), ""))
+      .toDF("doc_id", "transform_id", "ts", "duration", "values", "label")
+    val ends = Seq(("dA", "t1", 13 * S / 2))
+      .toDF("doc_id", "transform_id", "input_end_ns")
+    val j = JsonSink.toJams(feats, inputEnds = Some(ends))
+      .select("jams").as[String].collect().head
+    assert(j.contains("\"duration\": 6.500000000"), j)
+  }
+
   test("JAMS JSON: NaN values become strings, document is valid-ish") {
     val feats = Seq(
       ("d", "t", 0L, None: Option[Long], Seq(Float.NaN, 1.5f), "x"))

@@ -121,6 +121,34 @@ class SummariesSpec extends AnyFunSuite {
     assert(math.abs(med - 0.6) < 1e-6)
   }
 
+  test("median/mode partials are product-encoded (columnar, not a Kryo blob)") {
+    val enc = org.apache.spark.sql.Encoders.product[VectorSummaries.MMBuf]
+    // a Kryo encoder would surface as a single opaque binary field; the
+    // product encoder keeps shuffled/spilled partials as nested arrays in
+    // UnsafeRows
+    assert(!enc.schema.exists(_.dataType == org.apache.spark.sql.types.BinaryType),
+      enc.schema.treeString)
+    assert(enc.schema.fields.map(_.dataType.typeName).toSeq == Seq("array", "array"),
+      enc.schema.treeString)
+  }
+
+  test("median/mode buffer merge handles ragged + NaN + tie cases") {
+    val agg = new VectorSummaries.VectorMedianModeAgg
+    val b1 = agg.reduce(agg.zero, VectorSummaries.VW(Seq(1.0f, Float.NaN), 1.0))
+    val b2 = agg.reduce(agg.zero, VectorSummaries.VW(Seq(1.0f, 2.0f, 3.0f), 2.0))
+    val m = agg.merge(b1, b2)
+    val out = agg.finish(m)
+    // bin 0: {1.0 -> 3.0}; bin 1: {NaN -> 1, 2.0 -> 2} -> mode 2.0 (max w)
+    assert(out.mode(0) == 1.0f)
+    assert(out.mode(1) == 2.0f)
+    // bin 2 only present in b2
+    assert(out.median(2) == 3.0f)
+    // NaN keys accumulate into ONE entry (Java float total order)
+    val b3 = agg.reduce(b1, VectorSummaries.VW(Seq(0.0f, Float.NaN), 5.0))
+    val out3 = agg.finish(b3)
+    assert(out3.mode(1).isNaN) // NaN span now 6.0 > nothing else
+  }
+
   test("segmented summaries: per-segment counts sum to global count") {
     val spanned = Summaries.withSpans(fixture, "doc_id", Some("transform_id"),
       "ts", Some("duration")).where($"transform_id" === "curve")
