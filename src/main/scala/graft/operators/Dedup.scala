@@ -347,12 +347,22 @@ object Dedup {
       lCol: String = "id_l",
       rCol: String = "id_r",
       scoreCol: String = "est_jaccard",
-      maxMatches: Int = 100): DataFrame =
-    pairs.groupBy(col(rCol))
+      maxMatches: Int = 100): DataFrame = {
+    // rank matches per benchmark doc FIRST so the aggregation buffer
+    // holds at most maxMatches ids — collect_set-then-slice would buffer
+    // EVERY match of a boilerplate benchmark doc before truncating
+    val perPair = pairs.groupBy(col(rCol), col(lCol))
+      .agg(max(col(scoreCol)).as("__s"))
+    val w = Window.partitionBy(col(rCol)).orderBy(col(lCol))
+    perPair.withColumn("__rn", row_number().over(w))
+      .groupBy(col(rCol))
       .agg(count(lit(1)).as("n_matches"),
-        max(col(scoreCol)).as("max_" + scoreCol),
-        slice(array_sort(collect_set(col(lCol))), 1, maxMatches)
+        max(col("__s")).as("max_" + scoreCol),
+        // collect_list skips nulls: only the maxMatches smallest ids are
+        // ever buffered; sorted for a deterministic report
+        array_sort(collect_list(when(col("__rn") <= maxMatches, col(lCol))))
           .as("matched_ids"))
+  }
 
   /** Drop every corpus row whose id appears on the corpus side of a
     * cross-corpus pair table: the train/test-overlap removal step. The

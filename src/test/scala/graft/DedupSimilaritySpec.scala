@@ -196,6 +196,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(s4.subsetOf(s1))
   }
 
+  test("contamination report + drop: bounded list, true counts, composable") {
+    import graft.operators.Dedup
+    val pairs = Seq(
+      (1L, 100L, 0.9), (1L, 100L, 0.7), // duplicate pair rows collapse
+      (2L, 100L, 0.6), (3L, 100L, 0.95),
+      (5L, 200L, 1.0))
+      .toDF("id_l", "id_r", "est_jaccard")
+    val rep = Dedup.contaminationReport(pairs, maxMatches = 2)
+      .orderBy("id_r").collect()
+    assert(rep.length == 2)
+    val r100 = rep(0)
+    assert(r100.getLong(0) == 100L)
+    assert(r100.getAs[Long]("n_matches") == 3L) // true count, not the cap
+    assert(math.abs(r100.getAs[Double]("max_est_jaccard") - 0.95) < 1e-9)
+    // reported ids capped at the 2 smallest — visible cap, count uncapped
+    assert(r100.getAs[scala.collection.Seq[Long]]("matched_ids") == Seq(1L, 2L))
+    val r200 = rep(1)
+    assert(r200.getAs[Long]("n_matches") == 1L)
+    assert(r200.getAs[scala.collection.Seq[Long]]("matched_ids") == Seq(5L))
+    // the ACTION: corpus docs on the l-side of any pair are dropped
+    val kept = Dedup.dropContaminated(
+      spark.range(8).toDF("id"), "id", pairs, "id_l")
+      .as[Long].collect().toSet
+    assert(kept == Set(0L, 4L, 6L, 7L))
+  }
+
   test("banded embedding LSH recall vs the exact baseline (sf0.1, q39 params)") {
     import graft.operators.{Dedup, Similarity}
     // the structural claim behind bands=2 in q39/q40, measured: recall
