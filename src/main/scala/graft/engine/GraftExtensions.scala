@@ -127,6 +127,21 @@ object GraftExtensions {
       case args => throw new IllegalArgumentException(
         s"hyperplane_sig takes 3 arguments, got ${args.length}")
     },
+    fn("minhash_sig",
+      "minhash_sig(tokens, h) - minhash signature (shared affine hash " +
+        "family) over array<int>") {
+      case Seq(t, h) =>
+        graft.functions.MinhashSig(asArrayOf(t, IntegerType), intArg(h, "h"))
+      case args => throw new IllegalArgumentException(
+        s"minhash_sig takes 2 arguments, got ${args.length}")
+    },
+    fn("simhash32",
+      "simhash32(tokens) - 32-bit simhash (Knuth multiplicative family) " +
+        "over array<int>") {
+      case Seq(t) => graft.functions.Simhash32(asArrayOf(t, IntegerType))
+      case args => throw new IllegalArgumentException(
+        s"simhash32 takes 1 argument, got ${args.length}")
+    },
     fn("g_format",
       "g_format(v, digits) - C %g significant-digit formatting of float/double") {
       case Seq(v, d) => GFormat(asDouble(v), intArg(d, "digits"))

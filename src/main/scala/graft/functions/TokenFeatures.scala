@@ -98,16 +98,31 @@ object TokenFeatures {
 
   /** MinHash signature: array<long>[h] where entry i is
     * min over tokens of ((2i+1)·t + (i²+7)) mod P — a standard affine
-    * hash family, SQL-expressible for the oracle. O(h·n) per row. */
+    * hash family, SQL-expressible for the oracle. Native fused codegen
+    * loop ([[MinhashSig]]); the interpreted HOF form it replaced is kept
+    * below for the equivalence test. */
   def minhashSignature(tokens: Column, numHashes: Int): Column =
+    // the HOF form mapped over sequence(H), so a NULL tokens array gave H
+    // null ENTRIES (not a null array) — preserved exactly via the coalesce
+    coalesce(MinhashSig(tokens, numHashes),
+      array_repeat(lit(null).cast("long"), numHashes))
+
+  /** The original O(H·n)-interpreted-nodes HOF composition — retained as
+    * the executable spec the native expression is tested against. */
+  private[graft] def minhashSignatureHof(tokens: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)), h =>
       array_min(transform(tokens, t =>
         ((h * 2 + 1) * t.cast("long") + (h * h + 7)) % P)))
 
   /** SimHash (32-bit) over token identities with multiplicity: bit j is set
     * when Σ_tokens sign(bit_j(hash(token))) > 0. hash(t) = (t·2654435761)
-    * mod 2^32 (Knuth multiplicative). Returns int (bigint column). */
-  def simhash32(tokens: Column): Column = {
+    * mod 2^32 (Knuth multiplicative). Returns bigint. Native fused codegen
+    * loop ([[Simhash32]]); HOF spec kept below for the equivalence test. */
+  def simhash32(tokens: Column): Column = Simhash32(tokens)
+
+  /** The original O(32·n)-interpreted-nodes HOF composition — retained as
+    * the executable spec the native expression is tested against. */
+  private[graft] def simhash32Hof(tokens: Column): Column = {
     val acc0 = array_repeat(lit(0L), 32)
     val folded = aggregate(tokens, acc0, (acc, t) => {
       val h = pmod(t.cast("long") * 2654435761L, lit(4294967296L))

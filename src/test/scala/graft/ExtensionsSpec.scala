@@ -8,6 +8,63 @@ import graft.engine.GraftExtensions
 class ExtensionsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  test("minhash_sig native expression == the HOF executable spec") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.TokenFeatures
+    val rows = Seq(
+      Seq[Integer](3, 1, 4, 1, 5, 9, 2, 6),
+      Seq[Integer](0),
+      Seq[Integer](),                        // empty -> H null entries
+      Seq[Integer](Int.MaxValue, 7, -3),     // overflow + negative dividend
+      Seq[Integer](2, null, 9))              // null elements skipped
+    val df = rows.toDF("tokens")
+    val both = df.select(
+      TokenFeatures.minhashSignature(col("tokens"), 8).as("native"),
+      TokenFeatures.minhashSignatureHof(col("tokens"), 8).as("hof"))
+    both.collect().foreach { r =>
+      assert(r.getSeq[Any](0) == r.getSeq[Any](1), r.toString)
+    }
+    // NULL tokens array -> H null ENTRIES (the HOF mapped over
+    // sequence(H), so the result array itself was never null; the
+    // native wrapper preserves that exactly)
+    val nr = Seq(Tuple1(null: Seq[Integer])).toDF("tokens")
+      .select(TokenFeatures.minhashSignature(col("tokens"), 4).as("n"),
+        TokenFeatures.minhashSignatureHof(col("tokens"), 4).as("h"))
+      .collect().head
+    assert(!nr.isNullAt(0) && !nr.isNullAt(1))
+    assert(nr.getSeq[Any](0) == nr.getSeq[Any](1))
+    assert(nr.getSeq[Any](0) == Seq(null, null, null, null))
+    // the dedup plan carries the fused expression, not the HOF chain
+    val plan = df.select(TokenFeatures.minhashSignature(col("tokens"), 8))
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("minhash_sig"), plan)
+    assert(!plan.contains("array_min"), plan)
+  }
+
+  test("simhash32 native expression == the HOF executable spec") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.TokenFeatures
+    val rows = Seq(
+      Seq(3, 1, 4, 1, 5, 9, 2, 6),
+      Seq(0),
+      Seq.empty[Int],                 // empty -> 0L
+      Seq(Int.MaxValue, -7, 42),      // overflow + negative tokens
+      (1 to 200).toSeq)
+    val both = rows.toDF("tokens").select(
+      TokenFeatures.simhash32(col("tokens")).as("native"),
+      TokenFeatures.simhash32Hof(col("tokens")).as("hof"))
+    both.collect().foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), r.toString)
+    }
+    val plan = rows.toDF("tokens")
+      .select(TokenFeatures.simhash32(col("tokens")))
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("simhash32"), plan)
+    assert(!plan.contains("aggregate(lambda"), plan)
+  }
+
   test("register exposes the native expressions to spark.sql") {
     GraftExtensions.register(spark)
     val dot = spark.sql(
@@ -30,6 +87,10 @@ class ExtensionsSpec extends AnyFunSuite {
       "SELECT token_histogram(array(0, 1, 17, 5), 16) AS h")
       .head().getSeq[Long](0)
     assert(th(0) == 1 && th(1) == 2 && th(5) == 1)
+    val ms = spark.sql(
+      "SELECT minhash_sig(array(3, 1, 4), 2) AS s")
+      .head().getSeq[Long](0)
+    assert(ms == Seq(8L, 11L)) // h=0: min(t+7); h=1: min(3t+8)
     val hs = spark.sql(
       "SELECT hyperplane_sig(array(1.0d, 0.0d, 0.5d, 0.2d), 4, 4) AS s")
       .head().getLong(0)
