@@ -142,6 +142,29 @@ object GraftExtensions {
       case args => throw new IllegalArgumentException(
         s"simhash32 takes 1 argument, got ${args.length}")
     },
+    fn("ngram_shingles",
+      "ngram_shingles(tokens, n) - sorted distinct base-1031-packed " +
+        "n-gram shingle ids over array<int>") {
+      case Seq(t, n) =>
+        graft.functions.NgramShingles(asArrayOf(t, IntegerType), intArg(n, "n"))
+      case args => throw new IllegalArgumentException(
+        s"ngram_shingles takes 2 arguments, got ${args.length}")
+    },
+    fn("slot_agree",
+      "slot_agree(a, b) - count of positions where two array<bigint> " +
+        "signatures agree") {
+      case Seq(a, b) =>
+        graft.functions.SlotAgree(asArrayOf(a, LongType), asArrayOf(b, LongType))
+      case args => throw new IllegalArgumentException(
+        s"slot_agree takes 2 arguments, got ${args.length}")
+    },
+    fn("fingerprint64",
+      "fingerprint64(tokens) - rolling polynomial document fingerprint " +
+        "over array<int>") {
+      case Seq(t) => graft.functions.Fingerprint64(asArrayOf(t, IntegerType))
+      case args => throw new IllegalArgumentException(
+        s"fingerprint64 takes 1 argument, got ${args.length}")
+    },
     fn("g_format",
       "g_format(v, digits) - C %g significant-digit formatting of float/double") {
       case Seq(v, d) => GFormat(asDouble(v), intArg(d, "digits"))

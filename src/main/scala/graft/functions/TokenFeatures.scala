@@ -26,8 +26,14 @@ object TokenFeatures {
 
   /** Rolling polynomial fingerprint of a token array:
     * fold(acc = (acc * 31 + token) mod P). Order-sensitive document
-    * fingerprint; deterministic, SQL-expressible (oracle: list_reduce). */
-  def fingerprint(tokens: Column): Column =
+    * fingerprint; deterministic, SQL-expressible (oracle: list_reduce).
+    * Native fused loop ([[Fingerprint64]]); HOF spec kept for the
+    * equivalence test. */
+  def fingerprint(tokens: Column): Column = Fingerprint64(tokens)
+
+  /** The original interpreted fold — the executable spec the native
+    * expression is tested against. */
+  private[graft] def fingerprintHof(tokens: Column): Column =
     aggregate(tokens, lit(0L), (acc, t) => (acc * 31L + t.cast("long")) % P)
 
   /** Whitespace token count. */

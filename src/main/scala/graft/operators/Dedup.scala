@@ -164,8 +164,15 @@ object Dedup {
     obs.where(col("__n") <= maxBucket)
   }
 
-  /** Signature-estimated Jaccard: fraction of agreeing minhash slots. */
+  /** Signature-estimated Jaccard: fraction of agreeing minhash slots.
+    * Runs once per CANDIDATE PAIR — native fused count
+    * ([[graft.functions.SlotAgree]]), no per-pair intermediate arrays. */
   private def estJaccard(a: Column, b: Column, numHashes: Int): Column =
+    graft.functions.SlotAgree(a, b).cast("double") / numHashes
+
+  /** The HOF composition [[estJaccard]] replaced — the executable spec
+    * its native expression is tested against (DedupSimilaritySpec). */
+  private[graft] def estJaccardHof(a: Column, b: Column, numHashes: Int): Column =
     size(filter(zip_with(a, b, (x, y) =>
       (x === y).cast("int")), v => v === 1)).cast("double") / numHashes
 
@@ -208,19 +215,16 @@ object Dedup {
       n: Int = 3,
       blockingCols: Seq[Column] = Nil,
       threshold: Double = 0.5): DataFrame = {
-    val packed = (0 until n).map(j =>
-      (i: Column) => element_at(col(tokensCol), i + j + 1).cast("long"))
-      .reduceLeft[(Column => Column)]((f, g) => i => f(i) * 1031L + g(i))
-    // sorted distinct shingle sets: the pairwise jaccard then needs only a
-    // native merge-count (graft.functions.IntersectCount) — no per-pair
-    // array_intersect/array_union allocation; |A∪B| = |A|+|B|-|A∩B|
+    // sorted distinct shingle sets in ONE fused native pass
+    // (graft.functions.NgramShingles); the pairwise jaccard then needs
+    // only a native merge-count (graft.functions.IntersectCount) — no
+    // per-pair array_intersect/array_union allocation;
+    // |A∪B| = |A|+|B|-|A∩B|
     val shingles = df
       .where(size(col(tokensCol)) >= n)
       .select(
         col(idCol).as("id") +:
-          (array_sort(array_distinct(transform(
-            sequence(lit(0), size(col(tokensCol)) - n),
-            i => packed(i)))).as("sh")) +:
+          graft.functions.NgramShingles(col(tokensCol), n).as("sh") +:
           blockingCols.zipWithIndex.map { case (c, i) => c.as(s"bk$i") }: _*)
       .withColumn("nsh", size(col("sh")))
     val keys = blockingCols.indices.map(i => s"bk$i")

@@ -196,6 +196,48 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(s4.subsetOf(s1))
   }
 
+  test("slot_agree native == the zip_with HOF spec (estJaccard verify step)") {
+    import graft.operators.Dedup
+    val rows = Seq(
+      (Seq[java.lang.Long](1L, 2L, 3L, 4L), Seq[java.lang.Long](1L, 9L, 3L, 4L)),
+      (Seq[java.lang.Long](), Seq[java.lang.Long](1L)),          // length skew
+      (Seq[java.lang.Long](5L, null), Seq[java.lang.Long](5L, null)), // null slots never agree
+      (Seq[java.lang.Long](7L, 8L), Seq[java.lang.Long](7L, 8L, 9L)))
+      .toDF("a", "b")
+    val both = rows.select(
+      graft.functions.SlotAgree(col("a"), col("b")).as("native"),
+      Dedup.estJaccardHof(col("a"), col("b"), 1).as("hof_frac"))
+    both.collect().foreach { r =>
+      assert(r.getInt(0).toDouble == r.getDouble(1), r.toString)
+    }
+  }
+
+  test("ngram_shingles native == the HOF spec (sorted distinct, nulls last)") {
+    import graft.functions.NgramShingles
+    val n = 3
+    def hof(tokens: org.apache.spark.sql.Column) = {
+      val packed = (0 until n).map(j =>
+        (i: org.apache.spark.sql.Column) =>
+          element_at(tokens, i + j + 1).cast("long"))
+        .reduceLeft[(org.apache.spark.sql.Column => org.apache.spark.sql.Column)](
+          (f, g) => i => f(i) * 1031L + g(i))
+      array_sort(array_distinct(transform(
+        sequence(lit(0), size(tokens) - n), i => packed(i))))
+    }
+    val rows = Seq(
+      Seq[Integer](3, 1, 4, 1, 5, 9, 2, 6),
+      Seq[Integer](7, 7, 7, 7, 7),              // duplicate windows collapse
+      Seq[Integer](1, 2, 3),                    // exactly one window
+      Seq[Integer](50000, 1030, 2, 9, 50000),   // >=1031 wrap-around packing
+      Seq[Integer](1, null, 3, 4, 5, 6))        // null window -> one null, last
+    val both = rows.toDF("tokens").where(size(col("tokens")) >= n)
+      .select(NgramShingles(col("tokens"), n).as("native"),
+        hof(col("tokens")).as("hof"))
+    both.collect().foreach { r =>
+      assert(r.getSeq[Any](0) == r.getSeq[Any](1), r.toString)
+    }
+  }
+
   test("contamination report + drop: bounded list, true counts, composable") {
     import graft.operators.Dedup
     val pairs = Seq(

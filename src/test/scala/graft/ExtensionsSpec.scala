@@ -65,6 +65,25 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(!plan.contains("aggregate(lambda"), plan)
   }
 
+  test("fingerprint64 native expression == the HOF executable spec") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.TokenFeatures
+    val rows = Seq(
+      Seq[Integer](3, 1, 4, 1, 5),
+      Seq[Integer](),
+      Seq[Integer](0, 0, 0),
+      Seq[Integer](Int.MaxValue, 2, Int.MaxValue),
+      Seq[Integer](9, null, 4)) // null element poisons the fold -> NULL
+    val both = rows.toDF("tokens").select(
+      TokenFeatures.fingerprint(col("tokens")).as("native"),
+      TokenFeatures.fingerprintHof(col("tokens")).as("hof"))
+    both.collect().foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), r.toString)
+      if (!r.isNullAt(0)) assert(r.getLong(0) == r.getLong(1), r.toString)
+    }
+  }
+
   test("register exposes the native expressions to spark.sql") {
     GraftExtensions.register(spark)
     val dot = spark.sql(
