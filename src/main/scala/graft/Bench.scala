@@ -102,16 +102,27 @@ object Bench {
     // BESTS across all recorded runs per level (the same min-of-N
     // estimator the headline uses) — a single loaded p4 or p16 leg
     // otherwise seesaws the per-run ratio by ±0.2 on this time-shared
-    // host
+    // host. Priors fold ONLY when recorded at the SAME code version
+    // (review finding: a cross-version min could permanently hide a
+    // real regression behind a pre-regression recording).
+    val codeId = try {
+      val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
+        .redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      if (p.waitFor() == 0 && out.nonEmpty) out else "unknown"
+    } catch { case _: Throwable => "unknown" }
     val priorLadder: Map[String, (Double, Double)] = try {
       val f = new java.io.File("BENCH/ladder.json")
-      if (!f.exists()) Map.empty
+      if (!f.exists() || codeId == "unknown") Map.empty
       else {
         val src = scala.io.Source.fromFile(f)
         val txt = try src.mkString finally src.close()
-        """"metric":"([^"]+)".*?"p4_sec":([0-9.]+),"p16_sec":([0-9.]+)""".r
+        (""""metric":"([^"]+)","code":"([^"]+)".*?"p4_sec":([0-9.]+),""" +
+          """"p16_sec":([0-9.]+)""").r
           .findAllMatchIn(txt)
-          .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble))
+          .filter(_.group(2) == codeId)
+          .map(m => m.group(1) -> (m.group(3).toDouble, m.group(4).toDouble))
           .toMap
       }
     } catch { case _: Throwable => Map.empty }
@@ -127,7 +138,7 @@ object Bench {
     val t16 = math.min(t16Run, pA16)
     val eff = (t4 / t16) / 4.0
     val lines = scala.collection.mutable.ListBuffer(
-      f"""{"metric":"scale_ladder_native_asof","n_docs":$nDocs,"p4_sec":$t4%.3f,"p16_sec":$t16%.3f,"seq_per_sec_p16":${nDocs / t16}%.1f,"scaling_efficiency_4_to_16":$eff%.3f,"p4_run_sec":$t4Run%.3f,"p16_run_sec":$t16Run%.3f,"load_p4":$load4%.2f,"load_p16":$load16%.2f}""")
+      f"""{"metric":"scale_ladder_native_asof","code":"$codeId%s","n_docs":$nDocs,"p4_sec":$t4%.3f,"p16_sec":$t16%.3f,"seq_per_sec_p16":${nDocs / t16}%.1f,"scaling_efficiency_4_to_16":$eff%.3f,"p4_run_sec":$t4Run%.3f,"p16_run_sec":$t16Run%.3f,"load_p4":$load4%.2f,"load_p16":$load16%.2f}""")
 
     // ---- round-3-surface rows: the SAME 4->16-core protocol for the
     // spectrum (q53, map-only native expression), contamination (q54,
@@ -152,7 +163,7 @@ object Bench {
       val tHi = math.min(tHiRun, pHi)
       val e = (tLo / tHi) / 4.0
       val line =
-        f"""{"metric":"$metric%s","n_rows":$rows,"p4_sec":$tLo%.3f,"p16_sec":$tHi%.3f,"rows_per_sec_p16":${rows / tHi}%.1f,"scaling_efficiency_4_to_16":$e%.3f,"p4_run_sec":$tLoRun%.3f,"p16_run_sec":$tHiRun%.3f,"load_p4":$loadLo%.2f,"load_p16":$loadHi%.2f,"checksum":[${cLo._1},${cLo._2}]}"""
+        f"""{"metric":"$metric%s","code":"$codeId%s","n_rows":$rows,"p4_sec":$tLo%.3f,"p16_sec":$tHi%.3f,"rows_per_sec_p16":${rows / tHi}%.1f,"scaling_efficiency_4_to_16":$e%.3f,"p4_run_sec":$tLoRun%.3f,"p16_run_sec":$tHiRun%.3f,"load_p4":$loadLo%.2f,"load_p16":$loadHi%.2f,"checksum":[${cLo._1},${cLo._2}]}"""
       lines += line
       println(line)
     }
@@ -579,10 +590,13 @@ object Bench {
         s"recorded runs, unchanged-code prior): ${stillSuspect.mkString(", ")}")
     // fold this run into the all-runs minima history (same-sf only)
     try {
+      // strictly-positive values only: a failure sentinel (-1) folded in
+      // would poison the prior and silently disable the 3x detector for
+      // that query forever (review finding)
       val minima = (prevTimes.keySet ++ results.keys.filter(_.startsWith("q")))
         .toSeq.sorted.flatMap { k =>
-          val cur = results.get(k).filter(_ >= 0)
-          val prior = prevTimes.get(k)
+          val cur = results.get(k).filter(_ > 0)
+          val prior = prevTimes.get(k).filter(_ > 0)
           (cur, prior) match {
             case (Some(c), Some(p)) => Some(k -> math.min(c, p))
             case (Some(c), None) => Some(k -> c)

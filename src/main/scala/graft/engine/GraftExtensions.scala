@@ -150,6 +150,15 @@ object GraftExtensions {
       case args => throw new IllegalArgumentException(
         s"ngram_shingles takes 2 arguments, got ${args.length}")
     },
+    fn("ngram_repetition",
+      "ngram_repetition(tokens, n) - struct(total, distinct, top) window " +
+        "counts for repetition quality signals over array<int>") {
+      case Seq(t, n) =>
+        graft.functions.NgramRepetitionStats(asArrayOf(t, IntegerType),
+          intArg(n, "n"))
+      case args => throw new IllegalArgumentException(
+        s"ngram_repetition takes 2 arguments, got ${args.length}")
+    },
     fn("slot_agree",
       "slot_agree(a, b) - count of positions where two array<bigint> " +
         "signatures agree") {

@@ -249,15 +249,22 @@ object Main {
     val wantSummaries = specs.exists(_.summaryType.nonEmpty)
 
     // per-(doc, transform) end of input in ns (n_tok positions at the
-    // spec's rate): the reference's file duration / end-of-input rule
-    def inputEnds(): DataFrame = specs.map { sp =>
-      val ex = Engine.registry(sp.plugin)
-      val (_, _, rate) = ex.resolve(sp)
+    // spec's rate): the reference's file duration / end-of-input rule.
+    // ONE scan of seqs for all K specs: the per-spec rates ride in a
+    // literal struct array exploded per row (a K-way union re-scanned
+    // the table once per spec — review finding).
+    def inputEnds(): DataFrame = {
+      val perSpec = array(specs.map { sp =>
+        val (_, _, rate) = Engine.registry(sp.plugin).resolve(sp)
+        struct(lit(sp.id).as("transform_id"),
+          lit(1e9 / rate).as("ns_per_pos"))
+      }: _*)
       seqs.select(col("doc_id").cast("string").as("doc_id"),
-        lit(sp.id).as("transform_id"),
-        (col("n_tok").cast("double") * (1e9 / rate)).cast("long")
-          .as("input_end_ns"))
-    }.reduce(_.unionByName(_))
+          col("n_tok"), explode(perSpec).as("sp"))
+        .select(col("doc_id"), col("sp.transform_id").as("transform_id"),
+          (col("n_tok").cast("double") * col("sp.ns_per_pos")).cast("long")
+            .as("input_end_ns"))
+    }
 
     // specs with effective step/block/rate filled in, for metadata-bearing
     // sinks (the reference reports the transform's RESOLVED values)

@@ -152,6 +152,29 @@ object Queries5 {
       "doc_id", q54Contamination(s, dir).where(col("est_jaccard") >= 0.9))
       .orderBy("doc_id")
 
+  // --------------------------------------------------------------- q58
+  /** Within-document n-gram repetition (round-4 item): the Gopher-class
+    * quality signals — duplicate-bigram fraction and top-bigram share —
+    * via the native NgramRepetitionStats expression: ONE in-row sort of
+    * the doc's own windows, no explode, no shuffle (the groupBy(doc,
+    * shingle) formulation pays two exchanges for a per-doc scalar). */
+  def q58Repetition(s: SparkSession, dir: String): DataFrame =
+    QueryUtil.docsTok(s, dir)
+      .select(col("doc_id"),
+        graft.functions.NgramRepetitionStats(col("tokens"), 2).as("st"))
+      .select(col("doc_id"),
+        col("st.total").as("total_2grams"),
+        col("st.distinct").as("distinct_2grams"),
+        when(col("st.total") === 0, lit(0.0))
+          .otherwise(round(lit(1.0) -
+            col("st.distinct").cast("double") / col("st.total").cast("double"), 6))
+          .as("dup_2gram_frac"),
+        when(col("st.total") === 0, lit(0.0))
+          .otherwise(round(
+            col("st.top").cast("double") / col("st.total").cast("double"), 6))
+          .as("top_2gram_frac"))
+      .orderBy("doc_id")
+
   // ------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -161,7 +184,8 @@ object Queries5 {
     "q54_contamination" -> q54Contamination,
     "q55_sample" -> q55Sample,
     "q56_contamination_report" -> q56ContaminationReport,
-    "q57_drop_contaminated" -> q57DropContaminated)
+    "q57_drop_contaminated" -> q57DropContaminated,
+    "q58_repetition" -> q58Repetition)
 
   /** ENGINE-computed taper-folded DFT coefficient literals (hanning,
     * block 16, 9 bins) formatted shortest-round-trip — DuckDB parses
@@ -250,6 +274,29 @@ object Queries5 {
            UNION ALL SELECT * FROM exact)"""
 
   private val oracle2: Map[String, String] = Map(
+    "q58_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         g AS (SELECT doc_id,
+                 list_transform(range(greatest(len(toks) - 1, 0)),
+                   i -> toks[i+1]::BIGINT * 1031 + toks[i+2]) AS gs
+               FROM t),
+         u AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+         c AS (SELECT doc_id, gram, count(*) AS cnt FROM u GROUP BY 1, 2),
+         a AS (SELECT doc_id, CAST(sum(cnt) AS INT) AS total_2grams,
+                      CAST(count(*) AS INT) AS distinct_2grams,
+                      CAST(max(cnt) AS INT) AS top
+               FROM c GROUP BY 1)
+         SELECT t.doc_id,
+                coalesce(a.total_2grams, 0) AS total_2grams,
+                coalesce(a.distinct_2grams, 0) AS distinct_2grams,
+                CASE WHEN coalesce(a.total_2grams, 0) = 0 THEN 0.0
+                     ELSE round(1.0 - a.distinct_2grams::DOUBLE
+                                / a.total_2grams, 6) END AS dup_2gram_frac,
+                CASE WHEN coalesce(a.total_2grams, 0) = 0 THEN 0.0
+                     ELSE round(a.top::DOUBLE / a.total_2grams, 6)
+                END AS top_2gram_frac
+         FROM t LEFT JOIN a ON t.doc_id = a.doc_id
+         ORDER BY t.doc_id""",
     "q55_sample" ->
       s"""WITH ${graft.operators.Sampling.selectionHashCtes(
              "documents", "doc_id", 5L, "doc_id, source")}

@@ -23,14 +23,20 @@ import graft.functions.TokenFeatures
 object CapMetrics {
   private val log = org.slf4j.LoggerFactory.getLogger("graft.operators.CapMetrics")
   private val id = new java.util.concurrent.atomic.AtomicInteger(0)
-  private val sessions = java.util.Collections.newSetFromMap(
-    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+  // weak keys: a stopped SparkSession must not stay reachable from this
+  // static registry (benches cycle dozens of sessions per JVM)
+  private val sessions = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]()))
   private val last = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Long)]()
+  private val lastCap = 4096 // bound the per-observation history
 
   def nextId(): Int = id.incrementAndGet()
 
   /** Last observed (dropped_rows, dropped_buckets, max_bucket) summed over
-    * every graft_cap observation seen so far, for assertions. */
+    * the retained graft_cap observations (bounded history: the registry
+    * resets after [[lastCap]] distinct observation names), for
+    * assertions. */
   def totalDroppedRows: Long = {
     var t = 0L
     last.values().forEach(v => t += v._1)
@@ -40,9 +46,11 @@ object CapMetrics {
   private val wipeouts = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Number of completed queries whose cap observation vanished from the
-    * final adaptive plan — which happens exactly when EVERY (band, bucket)
-    * group was capped (AQE propagates the empty join side and prunes the
-    * CollectMetrics stage from the reported plan). */
+    * final adaptive plan — which happens when the capped stage produced
+    * ZERO rows and AQE pruned it: either every (band, bucket) group was
+    * capped (total cap wipeout) or the operator's input was empty. The
+    * listener cannot distinguish the two from the pruned plan; the WARN
+    * names both. */
   def totalWipeouts: Long = wipeouts.get()
 
   def ensureListener(spark: org.apache.spark.sql.SparkSession): Unit =
@@ -55,6 +63,7 @@ object CapMetrics {
               def l(f: String): Long =
                 Option(row.getAs[Any](f)).fold(0L)(_.toString.toDouble.toLong)
               val dropped = (l("dropped_rows"), l("dropped_buckets"), l("max_bucket"))
+              if (last.size >= lastCap) last.clear()
               last.put(name, dropped)
               if (dropped._1 > 0L)
                 log.warn(s"$name: bucket cap dropped ${dropped._1} rows in " +
@@ -75,11 +84,13 @@ object CapMetrics {
           val delivered = qe.observedMetrics.keySet
           declared.filterNot(delivered).foreach { name =>
             wipeouts.incrementAndGet()
-            log.warn(s"$name: cap observation missing from the final plan — " +
-              "every (band, bucket) group exceeded maxBucket and the stage " +
-              "was pruned; the empty pair output reflects the CAP, not true " +
-              "dissimilarity. Raise maxBucket or the bucket space " +
-              "(nPlanes/bands), or rely on exact dedup")
+            log.warn(s"$name: cap observation missing from the final plan " +
+              "(AQE pruned the empty capped stage) — EITHER every " +
+              "(band, bucket) group exceeded maxBucket (total cap wipeout: " +
+              "the empty pair output reflects the cap, not true " +
+              "dissimilarity — raise maxBucket or nPlanes/bands, or rely " +
+              "on exact dedup) OR the operator's input had no rows; check " +
+              "the input count to tell which")
           }
         }
         override def onFailure(funcName: String,
@@ -526,10 +537,13 @@ object Dedup {
     // just degenerate ones) exceed the cap and recall collapses. The
     // runtime drop is observed+logged by capBuckets/CapMetrics; this
     // plan-time warning fires before any job runs.
-    val bucketSpace = bands.toLong << math.min(nPlanes, 40)
+    // every row lands once in EVERY band, so a band's 2^nPlanes buckets
+    // saturate at ~2^nPlanes·maxBucket rows REGARDLESS of band count —
+    // more bands add recall, not cap headroom
+    val saturation = (1L << math.min(nPlanes, 40)) * maxBucket
     if (nPlanes <= 10)
       log.warn(s"embeddingDupPairs: nPlanes=$nPlanes gives only " +
-        s"${1L << nPlanes} buckets/band; above ~${bucketSpace * maxBucket} " +
+        s"${1L << nPlanes} buckets per band; above ~$saturation " +
         s"rows the maxBucket=$maxBucket cap will drop TYPICAL buckets and " +
         "recall collapses — raise nPlanes (with more bands to keep recall) " +
         "or maxBucket, and watch the graft_cap dropped_rows metric")

@@ -84,6 +84,25 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("ngram_repetition stats: totals, distinct, top multiplicity") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.NgramRepetitionStats
+    val rows = Seq(
+      Seq[Integer](7, 7, 7, 7),        // (7,7) x3 -> total 3, distinct 1, top 3
+      Seq[Integer](1, 2, 3),           // total 2, distinct 2, top 1
+      Seq[Integer](1),                 // no window
+      Seq[Integer](1, null, 2, 9))     // null windows excluded -> only (2,9)
+    val got = rows.toDF("tokens")
+      .select(NgramRepetitionStats(col("tokens"), 2).as("st"))
+      .select("st.total", "st.distinct", "st.top")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    assert(got(0) == ((3, 1, 3)))
+    assert(got(1) == ((2, 2, 1)))
+    assert(got(2) == ((0, 0, 0)))
+    assert(got(3) == ((1, 1, 1)))
+  }
+
   test("register exposes the native expressions to spark.sql") {
     GraftExtensions.register(spark)
     val dot = spark.sql(
