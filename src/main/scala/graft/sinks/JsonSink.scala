@@ -130,9 +130,12 @@ object JsonSink {
           lit(" ] } ] }")).as("jams"))
   }
 
+  /** JSONL write, one document per line across however many part files
+    * the plan produces — a single-task `coalesce(1)` funnel would be the
+    * sink bottleneck at corpus scale; JSONL consumers glob parts. */
   def writeJsonl(features: DataFrame, path: String,
       specs: Seq[TransformSpec] = Nil, digits: Int = 6,
       inputEnds: Option[DataFrame] = None): Unit =
     toJams(features, specs, digits, inputEnds).select("jams")
-      .coalesce(1).write.mode("overwrite").text(path)
+      .write.mode("overwrite").text(path)
 }

@@ -38,6 +38,34 @@ class CliSpec extends AnyFunSuite {
     assert(lines.get(0).matches("\"doc_0000000001\",0\\.085000000,\"click\""))
   }
 
+  test("end-to-end CLI: jams writer emits resolved annotator metadata") {
+    val tf = tmp("grafttfjams") + "/t.json"
+    Files.writeString(Paths.get(tf),
+      """[{"id": "df", "plugin": "graft:energy",
+        |  "output": "detectionfunction"}]""".stripMargin)
+    val out = tmp("graftoutjams") + "/feat.jsonl"
+    Main.run(spark, Main.parseArgs(Seq(
+      "--input", inputPath, "--transforms", tf,
+      "--writer", "jams", "--output", out)))
+    // name-filter carefully: Hadoop writes binary .part-*.crc sidecars
+    val docs = Files.list(Paths.get(out)).toArray.map(_.toString)
+      .filter(p => Paths.get(p).getFileName.toString.startsWith("part-"))
+      .flatMap(p => scala.jdk.CollectionConverters
+        .ListHasAsScala(Files.readAllLines(Paths.get(p))).asScala)
+      .filter(_.nonEmpty)
+    assert(docs.nonEmpty)
+    val parsed = org.json4s.jackson.JsonMethods.parse(docs.head)
+    // resolved annotator metadata (plugin defaults filled in by the CLI)
+    val ann = (parsed \ "annotations")(0) \ "annotation_metadata" \ "annotator"
+    assert((ann \ "plugin_id") == org.json4s.JString("graft:energy"))
+    assert((ann \ "output_id") == org.json4s.JString("detectionfunction"))
+    assert((ann \ "step_size") == org.json4s.JInt(16)) // resolved default
+    // file duration comes from the INPUT end (n_tok at the spec rate),
+    // not just the last feature
+    val dur = (parsed \ "file_metadata" \ "duration")
+    assert(dur != org.json4s.JNothing)
+  }
+
   test("end-to-end CLI: -S summaries, summary-only, one file") {
     val tf = tmp("grafttf2") + "/t.json"
     Files.writeString(Paths.get(tf),
