@@ -84,8 +84,16 @@ object Engine {
       boundaries: Seq[Long] = Nil,
       inputEnds: Option[DataFrame] = None): DataFrame = {
     val spark = features.sparkSession
-    val wanted = specs.flatMap(s => s.summaryType.map(t => s.id -> t))
+    val wanted = specs.flatMap(s => s.summaryType.map(t => s.id -> t)).distinct
     require(wanted.nonEmpty, "no transform requests a summary")
+    // the broadcast typeTable JOIN below fans out per matching row:
+    // one transform id carrying TWO different summary types would emit
+    // each group twice under conflicting names — reject it loudly
+    // (duplicate (id, type) entries are deduped above; the reference's
+    // transform model binds at most one summary_type per transform)
+    require(wanted.map(_._1).distinct.size == wanted.size,
+      "duplicate transform id with conflicting summary types: " +
+        wanted.groupBy(_._1).filter(_._2.size > 1).keys.mkString(", "))
     val byType = wanted.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
 
     // Optional (doc_id, transform_id, input_end_ns): the reference rule

@@ -24,6 +24,11 @@ trait FeatureExtractor {
   def preferredBlock: Int = 16
   def defaultParams: Map[String, Double] = Map.empty
 
+  /** Plugin version, reported by metadata-bearing sinks (the reference's
+    * plugin apiVersion surfaces in JAMS annotator blocks,
+    * JAMSFeatureWriter.cpp golden expected/curve-fsr.json:16). */
+  def version: Int = 1
+
   /** One pass over sequences -> all outputs' feature rows. */
   def extract(seqs: DataFrame, spec: TransformSpec): DataFrame
 

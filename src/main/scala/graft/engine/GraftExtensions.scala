@@ -137,7 +137,10 @@ object GraftExtensions {
     },
     fn("simhash32",
       "simhash32(tokens) - 32-bit simhash (Knuth multiplicative family) " +
-        "over array<int>") {
+        "over array<int>. NULL tokens are SKIPPED (they contribute to no " +
+        "bit); the repo's own tables carry containsNull=false arrays, but " +
+        "external data with null elements hashes as if those elements " +
+        "were absent") {
       case Seq(t) => graft.functions.Simhash32(asArrayOf(t, IntegerType))
       case args => throw new IllegalArgumentException(
         s"simhash32 takes 1 argument, got ${args.length}")

@@ -46,6 +46,9 @@ object Main {
       oneFile: Boolean = false,
       csv: CsvSink.Options = CsvSink.Options(),
       checkpointBuckets: Int = 0,
+      contaminationCheck: Option[String] = None,
+      dropContaminated: Boolean = false,
+      contaminationThreshold: Double = 0.9,
       list: Boolean = false,
       skeleton: Option[String] = None,
       help: Boolean = false)
@@ -67,6 +70,12 @@ object Main {
       |  [--fill-ends] [--end-times] [--sample-timing]
       |  [--digits N] [--separator C]
       |  [--checkpoint-buckets N]
+      |  [--contamination-check BENCH_PATH]   (train/test overlap: exact-hash
+      |      pre-pass UNION banded-minhash near-dup; writes a JSONL report,
+      |      one line per benchmark doc, to --output)
+      |  [--drop-contaminated]   (with --contamination-check: write the
+      |      surviving corpus as parquet to --output, report beside it)
+      |  [--contamination-threshold X]   (drop confidence, default 0.9)
       |  [--list] [--skeleton PLUGIN] [--help]
       |""".stripMargin
 
@@ -115,6 +124,12 @@ object Main {
         loop(t, c.copy(csv = c.csv.copy(separator = v)))
       case "--checkpoint-buckets" :: v :: t =>
         loop(t, c.copy(checkpointBuckets = v.toInt))
+      case "--contamination-check" :: v :: t =>
+        loop(t, c.copy(contaminationCheck = Some(v)))
+      case "--drop-contaminated" :: t =>
+        loop(t, c.copy(dropContaminated = true))
+      case "--contamination-threshold" :: v :: t =>
+        loop(t, c.copy(contaminationThreshold = v.toDouble))
       case "--list" :: t => loop(t, c.copy(list = true))
       case "--skeleton" :: v :: t => loop(t, c.copy(skeleton = Some(v)))
       case other :: _ =>
@@ -189,6 +204,7 @@ object Main {
     c.skeleton.foreach { p => println(TransformSpecs.skeleton(p)); return }
     require(c.input.nonEmpty, "--input required")
     require(c.output.nonEmpty, "--output required")
+    if (c.contaminationCheck.nonEmpty) { runContamination(spark, c); return }
     // compile transforms BEFORE touching the input (reference lifecycle:
     // transform parse errors and "no transforms given" precede source
     // opening — a missing input path must not mask a transform mistake)
@@ -305,7 +321,9 @@ object Main {
       case "jams" => JsonSink.writeJsonl(
         features.withColumn("doc_id", col("doc_id").cast("string")), c.output,
         specs = resolvedSpecs(), digits = c.csv.digits,
-        inputEnds = Some(inputEnds()))
+        inputEnds = Some(inputEnds()),
+        versions = specs.flatMap(sp => Engine.registry.get(sp.plugin)
+          .map(ex => sp.id -> ex.version.toString)).toMap)
       case "rdf" =>
         // dense (one-sample-per-step) outputs take the windowed-timeline
         // value-matrix form, sparse outputs stay timed events — the
@@ -350,6 +368,52 @@ object Main {
       val target = if (c.summaryOnly) c.output
         else c.output.stripSuffix(".csv") + "_summaries.csv"
       CsvSink.writeOneFile(lines, target, c.csv)
+    }
+  }
+
+  /** `--contamination-check BENCH_PATH` (VERDICT r4 #7): the train/test
+    * overlap operator every pipeline runs, reachable without writing
+    * Scala. Corpus = the normal `--input` selection (recursive/manifest
+    * respected); benchmark = a sequences-schema table at BENCH_PATH.
+    * Detection composes the library's two-pass design (exact-hash
+    * pre-pass, immune to the LSH bucket cap, UNION banded-minhash
+    * near-dup candidates at the operator defaults); the per-benchmark-doc
+    * REPORT is written as distributed JSONL; with `--drop-contaminated`
+    * the surviving corpus lands as parquet at `--output` (anti join — the
+    * only touch on the corpus) and the report beside it at
+    * `<output>_contamination`. */
+  private def runContamination(spark: SparkSession, c: Config): Unit = {
+    import graft.operators.Dedup
+    var corpus =
+      if (c.recursive) Tables.sequencesRecursive(spark, c.input)
+      else Tables.sequences(spark, c.input)
+    c.manifest.foreach { m =>
+      corpus = Tables.fromManifest(corpus, spark.read.parquet(m))
+    }
+    val bench = Tables.sequences(spark, c.contaminationCheck.get)
+    val exact = Dedup.exactMatchesAcross(corpus, bench, "doc_id", "tokens")
+      .withColumn("est_jaccard", lit(1.0))
+    val near = Dedup.minhashLshPairsAcross(corpus, bench, "doc_id", "tokens")
+    val pairs = exact.unionByName(near)
+      .groupBy("id_l", "id_r").agg(max(col("est_jaccard")).as("est_jaccard"))
+    // the pair table is bounded by true overlap (tiny next to the
+    // corpus); cache it when both the report and the drop consume it
+    if (c.dropContaminated) pairs.cache()
+    val report = Dedup.contaminationReport(pairs)
+      .select(to_json(struct(col("id_r").cast("string").as("bench_id"),
+        col("n_matches"), col("max_est_jaccard"),
+        transform(col("matched_ids"), i => i.cast("string"))
+          .as("matched_ids"))).as("line"))
+    val mode = if (c.csv.force) "overwrite" else "errorifexists"
+    val reportPath =
+      if (c.dropContaminated) c.output.stripSuffix("/") + "_contamination"
+      else c.output
+    report.write.mode(mode).text(reportPath)
+    if (c.dropContaminated) {
+      Dedup.dropContaminated(corpus, "doc_id",
+        pairs.where(col("est_jaccard") >= c.contaminationThreshold))
+        .write.mode(mode).parquet(c.output)
+      pairs.unpersist()
     }
   }
 

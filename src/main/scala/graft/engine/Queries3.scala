@@ -227,12 +227,16 @@ object Queries3 {
     * Shared by q39/q40; the portable plane family makes the bucket
     * assignment reproducible in the DuckDB oracle, so the scale path is
     * now oracle-pinned, not just recall-asserted (round-1 gap: the
-    * cluster gates q35/q36 fed off the q33 all-pairs baseline). */
-  private def lshPairs(s: SparkSession, dir: String): DataFrame =
+    * cluster gates q35/q36 fed off the q33 all-pairs baseline).
+    *
+    * nPlanes/bands/maxBucket are the operator DEFAULTS (16/2/1000 —
+    * VERDICT r4 #5: the gate pins the configuration a user gets without
+    * tuning, and the defaults must not be the recall trap the plan-time
+    * warning describes). */
+  private[engine] def lshPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingDupPairs(
       t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
-      "vec_id", "embedding", dim = 64, nPlanes = 8, threshold = 0.35,
-      bands = 2, maxBucket = 1000)
+      "vec_id", "embedding", dim = 64, threshold = 0.35)
 
   /** Duplicate clusters over the LSH pair graph: connected components,
     * min-reachable-id label — the scale-path twin of q35. */
@@ -318,13 +322,14 @@ object Queries3 {
                FROM v JOIN sigb USING (vec_id))"""
 
   /** DuckDB CTE for the unrounded-cosine LSH pair list — verbatim
-    * Dedup.embeddingDupPairs(dim=64, nPlanes=8, threshold=0.35, bands=2,
-    * maxBucket=1000): band b's 8-bit signature uses global planes
-    * [8b, 8b+8) of the same exact-int64 family (p // 8 = band,
-    * p % 8 = bit), candidates are any-band bucket matches, and
-    * degenerate (band, bucket) groups over 1000 members are DROPPED —
-    * the engine's skew cap, which the oracle must model (the q25
-    * lesson: invisible at sf0.01, divergent at sf0.1). */
+    * Dedup.embeddingDupPairs(dim=64, threshold=0.35) at the operator
+    * DEFAULTS nPlanes=16, bands=2, maxBucket=1000 (VERDICT r4 #5): band
+    * b's 16-bit signature uses global planes [16b, 16b+16) of the same
+    * exact-int64 family (p // 16 = band, p % 16 = bit), candidates are
+    * any-band bucket matches, and degenerate (band, bucket) groups over
+    * 1000 members are DROPPED — the engine's skew cap, which the oracle
+    * must model (the q25 lesson: invisible at sf0.01, divergent at
+    * sf0.1). */
   private val lshPairsCte =
     """v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
        planes AS (
@@ -334,12 +339,12 @@ object Queries3 {
                + 40503*(p*64+j+1) + 1299721) % 1000003)),
            t -> (((t*t % 1000003) * 2654435761
                   + 40503*t + 1299721) % 1000003) / 500001.5 - 1.0) AS w
-         FROM range(16) t(p)),
+         FROM range(32) t(p)),
        sigb AS (
-         SELECT v.vec_id, p // 8 AS band,
+         SELECT v.vec_id, p // 16 AS band,
            CAST(sum(CASE WHEN list_dot_product(v.emb, planes.w) >= 0
-                    THEN 1 << (p % 8) ELSE 0 END) AS BIGINT) AS bucket
-         FROM v, planes GROUP BY v.vec_id, p // 8),
+                    THEN 1 << (p % 16) ELSE 0 END) AS BIGINT) AS bucket
+         FROM v, planes GROUP BY v.vec_id, p // 16),
        capped AS (
          SELECT vec_id, band, bucket FROM (
            SELECT vec_id, band, bucket,

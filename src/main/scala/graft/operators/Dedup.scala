@@ -28,20 +28,25 @@ object CapMetrics {
   private val sessions = java.util.Collections.synchronizedSet(
     java.util.Collections.newSetFromMap(
       new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]()))
-  private val last = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Long)]()
   private val lastCap = 4096 // bound the per-observation history
+  // LRU-evicting per-name history (oldest out) — a plain clear() at the
+  // bound would silently reset the running totals mid-run, at odds with
+  // the "no silent caps" rule this registry backs (ADVICE r4)
+  private val last = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, (Long, Long, Long)](64, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Long, Long, Long)]): Boolean =
+        size() > lastCap
+    })
+  private val droppedRowsEver = new java.util.concurrent.atomic.AtomicLong(0)
 
   def nextId(): Int = id.incrementAndGet()
 
-  /** Last observed (dropped_rows, dropped_buckets, max_bucket) summed over
-    * the retained graft_cap observations (bounded history: the registry
-    * resets after [[lastCap]] distinct observation names), for
-    * assertions. */
-  def totalDroppedRows: Long = {
-    var t = 0L
-    last.values().forEach(v => t += v._1)
-    t
-  }
+  /** MONOTONIC cumulative dropped-row count: every delivered graft_cap
+    * observation adds its dropped_rows (re-running a query re-counts its
+    * drop — this is a per-delivery event counter for delta assertions,
+    * not a distinct-query total, and it never resets). */
+  def totalDroppedRows: Long = droppedRowsEver.get()
 
   private val wipeouts = new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -63,7 +68,7 @@ object CapMetrics {
               def l(f: String): Long =
                 Option(row.getAs[Any](f)).fold(0L)(_.toString.toDouble.toLong)
               val dropped = (l("dropped_rows"), l("dropped_buckets"), l("max_bucket"))
-              if (last.size >= lastCap) last.clear()
+              droppedRowsEver.addAndGet(dropped._1)
               last.put(name, dropped)
               if (dropped._1 > 0L)
                 log.warn(s"$name: bucket cap dropped ${dropped._1} rows in " +
@@ -396,9 +401,10 @@ object Dedup {
     * keeping one representative per CLUSTER, not per pair. Iterative
     * min-label propagation: one shuffle per round, converges in
     * O(component diameter) rounds (near-dup clusters are near-cliques, so
-    * 2-3 in practice); the large-star/small-star algorithm is the drop-in
-    * upgrade if diameters ever grow. Singletons (no pair) are omitted,
-    * matching the pair table's domain. */
+    * 2-3 in practice); [[connectedComponentsStar]] is the drop-in upgrade
+    * for high-diameter (chain-shaped) pair graphs — same signature, same
+    * (node, cluster=min reachable id) output. Singletons (no pair) are
+    * omitted, matching the pair table's domain. */
   def connectedComponents(
       pairs: DataFrame,
       aCol: String,
@@ -483,6 +489,106 @@ object Dedup {
     labels
   }
 
+  /** Connected components via LARGE-STAR / SMALL-STAR alternation — the
+    * two-operation MapReduce algorithm of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond" (SoCC 2014): same signature and
+    * output contract as [[connectedComponents]] (every paired node ->
+    * min reachable id; singletons omitted), different scaling shape.
+    *
+    * Each round rewrites the EDGE set (shrinking toward per-component
+    * stars rooted at the minimum id) instead of joining a full label
+    * table against the edge list twice — on a chain-shaped pair graph
+    * (low thresholds, transitive near-dups) min-label's per-round
+    * double-join over all nodes is the bottleneck; the star ops converge
+    * in O(log² n) rounds with per-round work proportional to the
+    * current (shrinking) edge set:
+    *
+    *   large-star(u): m = min({u} ∪ Γ(u)); emit (v, m) for v ∈ Γ(u), v > u
+    *   small-star(u): N = {v ∈ Γ(u) : v < u}, m = min(N);
+    *                  emit (u, m) and (v, m) for v ∈ N \ {m}
+    *
+    * Both ops emit only (hi, lo) directed edges, so the working set
+    * stays canonical; the fixpoint is the star graph (v, root) per
+    * component. Convergence = unchanged (count, endpoint-hash-sum) edge
+    * multiset across one large+small round — both invariants come from
+    * ONE agg on the (small, shrinking) edge table, no compare join. */
+  def connectedComponentsStar(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 20): DataFrame =
+    starRounds(pairs, aCol, bCol, maxIter)._1
+
+  /** [[connectedComponentsStar]] plus the executed round count — the
+    * scaling-evidence hook (BENCH ladder) and the chain-graph round
+    * bound asserted in tests. */
+  private[graft] def starRounds(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 20): (DataFrame, Int) = {
+    val p = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
+      .where(col("x") =!= col("y")).cache()
+    // canonical (hi, lo) working set
+    var edges = Checkpointing.materialize(
+      p.select(greatest(col("x"), col("y")).as("x"),
+        least(col("x"), col("y")).as("y")).distinct())
+    p.unpersist()
+    val spark = pairs.sparkSession
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(sum(hash(col("x"), col("y")).cast("long")), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var prev = sig(edges)
+    if (prev._1 == 0)
+      return (edges.select(col("x").as("node"), col("x").as("cluster")), 0)
+    // iteration shuffles sized from the measured edge count (same rule
+    // as the min-label path)
+    val defaultParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = math.max(1L,
+      math.min(defaultParts.toLong, prev._1 / 100000L + 1)).toInt
+    edges = Checkpointing.materialize(edges.repartition(parts, col("x")))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // ---- large-star over the bidirectional neighborhood of u
+      val bi = edges.union(edges.select(col("y").as("x"), col("x").as("y")))
+      val mL = bi.groupBy("x").agg(min(col("y")).as("mn"))
+        .select(col("x").as("u"), least(col("x"), col("mn")).as("m"))
+      val ls = Checkpointing.materialize(
+        bi.join(mL, bi("x") === mL("u"))
+          .where(col("y") > col("x")) // v ∈ Γ(u), v > u
+          .select(col("y").as("x"), col("m").as("y"))
+          .where(col("x") =!= col("y"))
+          .distinct())
+      // ---- small-star over the below-u neighborhood (ls is canonical
+      // (hi, lo), so grouping by x IS the below-u neighborhood)
+      val mS = ls.groupBy("x").agg(min(col("y")).as("m"))
+      val ss = Checkpointing.materialize(
+        ls.join(mS, Seq("x"))
+          .select(explode(array(
+            struct(col("x").as("hi"), col("m").as("lo")),
+            struct(col("y").as("hi"), col("m").as("lo")))).as("e"))
+          .select(col("e.hi").as("x"), col("e.lo").as("y"))
+          .where(col("x") =!= col("y"))
+          .distinct())
+      val s = sig(ss)
+      converged = s == prev
+      prev = s
+      edges = ss
+      i += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsStar did not converge in $maxIter rounds; " +
+        "raise maxIter (edges are not yet per-component stars)")
+    // fixpoint edges are (v, root): emit members + the roots themselves
+    val labels = edges.select(col("x").as("node"), col("y").as("cluster"))
+      .union(edges.select(col("y").as("node"), col("y").as("cluster")))
+      .distinct()
+    (labels, i)
+  }
+
   /** The dedup materializer: drop every row whose id belongs to a
     * near-dup cluster but is not the cluster representative (minimum id)
     * — "keep one per cluster", the near-dup analog of [[exact]]. The
@@ -528,9 +634,17 @@ object Dedup {
       idCol: String,
       embCol: String,
       dim: Int,
-      nPlanes: Int = 8,
+      // scale-safe defaults (VERDICT r4 #5): 16 planes = 65536 buckets
+      // per band (cap saturation ~2^16·maxBucket ≈ 6.5·10^7 rows instead
+      // of the old 8-plane 2.6·10^5), and 2 bands so the narrower
+      // per-band buckets don't cost recall (a pair is lost only if EVERY
+      // band disagrees somewhere). The old nPlanes=8/bands=1 default was
+      // the exact combination the plan-time warning below calls a recall
+      // trap. bands=1 still reproduces the single-signature behavior
+      // bit-for-bit when requested explicitly.
+      nPlanes: Int = 16,
       threshold: Double = 0.95,
-      bands: Int = 1,
+      bands: Int = 2,
       maxBucket: Int = 1000): DataFrame = {
     // Default-parameter trap, made loud: nPlanes=8 leaves only 256 buckets
     // per band, so beyond ~bucketSpace*maxBucket rows TYPICAL buckets (not

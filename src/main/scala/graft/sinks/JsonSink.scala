@@ -41,12 +41,16 @@ object JsonSink {
   /** Driver-side annotator block for one transform (tiny, one per spec).
     * step/block/sample_rate are emitted when configured — the reference
     * prints the transform's effective values; the CLI passes resolved
-    * specs. */
-  def annotatorJson(s: TransformSpec): String = {
+    * specs. `pluginVersion` is emitted when the caller's extractor
+    * exposes one (the reference goldens carry it,
+    * expected/curve-fsr.json:16; the CLI passes the registry's version —
+    * ADVICE r4). */
+  def annotatorJson(s: TransformSpec, pluginVersion: Option[String] = None): String = {
     def num(d: Double): String = CsvSink.gFormatValue(d, 6)
     val fields = Seq(
       Some(s"""\"plugin_id\": \"${escS(s.plugin)}\""""),
       if (s.output.nonEmpty) Some(s"""\"output_id\": \"${escS(s.output)}\"""") else None,
+      pluginVersion.map(v => s"""\"plugin_version\": \"${escS(v)}\""""),
       if (s.stepSize > 0) Some(s"""\"step_size\": ${s.stepSize}""") else None,
       if (s.blockSize > 0) Some(s"""\"block_size\": ${s.blockSize}""") else None,
       if (s.sampleRate > 0) Some(s"""\"sample_rate\": ${num(s.sampleRate)}""") else None,
@@ -71,7 +75,8 @@ object JsonSink {
       features: DataFrame,
       specs: Seq[TransformSpec] = Nil,
       digits: Int = 6,
-      inputEnds: Option[DataFrame] = None): DataFrame = {
+      inputEnds: Option[DataFrame] = None,
+      versions: Map[String, String] = Map.empty): DataFrame = {
     val g = CsvSink.gFormat(digits)
     def jn(v: Column): Column =
       when(isnan(v), lit("\"NaN\""))
@@ -101,7 +106,8 @@ object JsonSink {
       if (specs.isEmpty) fallbackAnn
       else coalesce(
         element_at(
-          map(specs.flatMap(s => Seq(lit(s.id), lit(annotatorJson(s)))): _*),
+          map(specs.flatMap(s =>
+            Seq(lit(s.id), lit(annotatorJson(s, versions.get(s.id))))): _*),
           col("transform_id")),
         fallbackAnn)
 
@@ -135,7 +141,8 @@ object JsonSink {
     * sink bottleneck at corpus scale; JSONL consumers glob parts. */
   def writeJsonl(features: DataFrame, path: String,
       specs: Seq[TransformSpec] = Nil, digits: Int = 6,
-      inputEnds: Option[DataFrame] = None): Unit =
-    toJams(features, specs, digits, inputEnds).select("jams")
+      inputEnds: Option[DataFrame] = None,
+      versions: Map[String, String] = Map.empty): Unit =
+    toJams(features, specs, digits, inputEnds, versions).select("jams")
       .write.mode("overwrite").text(path)
 }

@@ -59,6 +59,9 @@ class CliSpec extends AnyFunSuite {
     val ann = (parsed \ "annotations")(0) \ "annotation_metadata" \ "annotator"
     assert((ann \ "plugin_id") == org.json4s.JString("graft:energy"))
     assert((ann \ "output_id") == org.json4s.JString("detectionfunction"))
+    // the registry's plugin version rides along (reference golden
+    // expected/curve-fsr.json:16 — ADVICE r4)
+    assert((ann \ "plugin_version") == org.json4s.JString("1"))
     assert((ann \ "step_size") == org.json4s.JInt(16)) // resolved default
     // file duration comes from the INPUT end (n_tok at the spec rate),
     // not just the last feature
@@ -188,6 +191,53 @@ class CliSpec extends AnyFunSuite {
     // and the raw Tables.sequences URI read equals the plain-path read
     assert(Tables.sequences(spark, s"file://$inputPath").count() ==
       Tables.sequences(spark, inputPath).count())
+  }
+
+  test("contamination CLI: detect -> report -> drop end-to-end") {
+    // dedicated token-disjoint corpus (the generator's docs are real
+    // near-dups of each other, which would entangle the drop set):
+    // c1's content is planted in the benchmark; c2-c4 share no tokens
+    // with it and must survive
+    val corpusPath = tmp("graftccorpus") + "/seqs"
+    def doc(id: String, lo: Int) = (id, (lo until lo + 12).toList, 12, "s")
+    Seq(doc("c1", 1), doc("c2", 100), doc("c3", 200), doc("c4", 300))
+      .toDF("doc_id", "tokens", "n_tok", "source").write.parquet(corpusPath)
+    val benchPath = tmp("graftbench") + "/bench"
+    Seq(("bench_hit", (1 until 13).toList, 12, "b"),
+      ("bench_miss", List(900001, 900002, 900003), 3, "b"))
+      .toDF("doc_id", "tokens", "n_tok", "source").write.parquet(benchPath)
+
+    def reportLines(dirPath: String): Seq[org.json4s.JValue] =
+      Files.list(Paths.get(dirPath)).toArray.map(_.toString)
+        .filter(p => Paths.get(p).getFileName.toString.startsWith("part-"))
+        .flatMap(p => scala.jdk.CollectionConverters
+          .ListHasAsScala(Files.readAllLines(Paths.get(p))).asScala)
+        .filter(_.nonEmpty).toSeq
+        .map(org.json4s.jackson.JsonMethods.parse(_))
+
+    // 1) detect + report (no transforms needed in this mode)
+    val rep = tmp("graftcontam") + "/report"
+    Main.run(spark, Main.parseArgs(Seq(
+      "--input", corpusPath, "--contamination-check", benchPath,
+      "--output", rep)))
+    val rows = reportLines(rep)
+    assert(rows.map(r => (r \ "bench_id")).toSet ==
+      Set(org.json4s.JString("bench_hit")), "only the planted twin reports")
+    val hit = rows.head
+    assert((hit \ "max_est_jaccard") == org.json4s.JDouble(1.0))
+    assert((hit \ "matched_ids").children
+      .contains(org.json4s.JString("c1")))
+
+    // 2) drop: surviving corpus parquet + report beside it
+    val cleanedOut = tmp("graftcontam2") + "/cleaned"
+    Main.run(spark, Main.parseArgs(Seq(
+      "--input", corpusPath, "--contamination-check", benchPath,
+      "--drop-contaminated", "--output", cleanedOut)))
+    val cleaned = spark.read.parquet(cleanedOut)
+      .select("doc_id").as[String].collect().toSet
+    assert(cleaned == Set("c2", "c3", "c4"))
+    assert(reportLines(cleanedOut.stripSuffix("/") + "_contamination")
+      .nonEmpty)
   }
 
   test("salted two-stage aggregation equals the one-stage plan") {

@@ -314,6 +314,24 @@ class SinksSpec extends AnyFunSuite {
     }
   }
 
+  test("JAMS annotator emits plugin_version when the extractor exposes one") {
+    import graft.model.TransformSpec
+    val spec = TransformSpec(id = "t1", plugin = "graft:test", output = "out")
+    // reference field order (expected/curve-fsr.json:14-17): plugin_id,
+    // output_id, plugin_version, then the numeric config
+    assert(JsonSink.annotatorJson(spec, Some("5")) ==
+      "{ \"plugin_id\": \"graft:test\", \"output_id\": \"out\", " +
+        "\"plugin_version\": \"5\", \"transform_id\": \"t1\" }")
+    // absent version -> field omitted (the pre-r5 shape, goldens above)
+    assert(!JsonSink.annotatorJson(spec).contains("plugin_version"))
+    val feats = Seq(("dA", "t1", 0L, None: Option[Long], Seq(1.0f), ""))
+      .toDF("doc_id", "transform_id", "ts", "duration", "values", "label")
+    val j = JsonSink.toJams(feats, Seq(spec), versions = Map("t1" -> "5"))
+      .select("jams").as[String].collect().head
+    val p = org.json4s.jackson.JsonMethods.parse(j)
+    assert((p \\ "annotator" \ "plugin_version") == org.json4s.JString("5"))
+  }
+
   test("JAMS file_metadata.duration uses inputEnds when provided") {
     val feats = Seq(("dA", "t1", 0L, None: Option[Long], Seq(1.0f), ""))
       .toDF("doc_id", "transform_id", "ts", "duration", "values", "label")
