@@ -169,23 +169,27 @@ object Bench {
     // deterministic inputs with a parallelism-invariant checksum.
     def twoLevel(metric: String, rows: Long, repsLo: Int = 2, repsHi: Int = 3)
         (work: SparkSession => (Long, Long)): Unit = {
-      def levelW(cores: Int, reps: Int): (Double, (Long, Long), Double) = {
+      // pre-leg AND post-leg 1-min loadavg: ladder rows run back to
+      // back, so a p4 leg's pre-leg reading is often the RESIDUAL of
+      // our own just-finished 16-thread leg (no real contention) — the
+      // pair makes "loaded host" vs "own residual" auditable
+      def levelW(cores: Int, reps: Int): (Double, (Long, Long), Double, Double) = {
         val load = loadAvg()
         val s = session(cores)
         var chk = (0L, 0L)
         val t = minOf(reps) { chk = work(s) } // rep 1 warms the page cache
         s.stop()
-        (t, chk, load)
+        (t, chk, load, loadAvg())
       }
-      val (tLoRun, cLo, loadLo) = levelW(4, repsLo)
-      val (tHiRun, cHi, loadHi) = levelW(16, repsHi)
+      val (tLoRun, cLo, loadLo, loadLoEnd) = levelW(4, repsLo)
+      val (tHiRun, cHi, loadHi, loadHiEnd) = levelW(16, repsHi)
       require(cLo == cHi, s"$metric: parallelism changed the answer: $cLo vs $cHi")
       val (pLo, pHi) = priorLadder.getOrElse(metric, (Double.MaxValue, Double.MaxValue))
       val tLo = math.min(tLoRun, pLo)
       val tHi = math.min(tHiRun, pHi)
       val e = (tLo / tHi) / 4.0
       val line =
-        f"""{"metric":"$metric%s","code":"$codeId%s","n_rows":$rows,"p4_sec":$tLo%.3f,"p16_sec":$tHi%.3f,"rows_per_sec_p16":${rows / tHi}%.1f,"scaling_efficiency_4_to_16":$e%.3f,"p4_run_sec":$tLoRun%.3f,"p16_run_sec":$tHiRun%.3f,"load_p4":$loadLo%.2f,"load_p16":$loadHi%.2f,"checksum":[${cLo._1},${cLo._2}]}"""
+        f"""{"metric":"$metric%s","code":"$codeId%s","n_rows":$rows,"p4_sec":$tLo%.3f,"p16_sec":$tHi%.3f,"rows_per_sec_p16":${rows / tHi}%.1f,"scaling_efficiency_4_to_16":$e%.3f,"p4_run_sec":$tLoRun%.3f,"p16_run_sec":$tHiRun%.3f,"load_p4":$loadLo%.2f,"load_p4_end":$loadLoEnd%.2f,"load_p16":$loadHi%.2f,"load_p16_end":$loadHiEnd%.2f,"checksum":[${cLo._1},${cLo._2}]}"""
       lines += line
       println(line)
     }
@@ -269,15 +273,48 @@ object Bench {
       (r.getLong(0), r.getLong(1))
     }
 
-    // cluster-round scaling (VERDICT r4 #6): large-star/small-star CC
-    // over ~3.75M chain edges (250k chains of length 16 — the
-    // high-diameter shape where min-label's per-round full-label
-    // double-join is the bottleneck; the star ops' per-round work
-    // follows the shrinking edge set). Deterministic graph, checksum =
-    // (label count, label hash sum) — parallelism-invariant.
-    twoLevel("scale_ladder_cc_star", nDocs, repsLo = 1, repsHi = 2) { s =>
+    // q40 PHASE SPLIT (VERDICT r4 #4): the LSH pair-GENERATION phase
+    // alone — the shuffle/compute-heavy part whose scaling matters. The
+    // full q40 row above folds in the CC rounds + anti join, and at 4M
+    // rows the dup-pair graph is small enough that the CC phase is a
+    // handful of synchronized barriers whose per-round scheduling/
+    // checkpoint overhead is CORE-COUNT-INSENSITIVE on one box — the
+    // cc_star row below sizes the rounds fat enough to measure the
+    // operator instead of the barrier.
+    twoLevel("scale_ladder_q40_pairs", nVec) { s =>
       import org.apache.spark.sql.functions._
-      val pairs = s.range(nDocs).where(pmod(col("id"), lit(16)) =!= 15)
+      val dim = 16
+      val base = when(pmod(col("id"), lit(16)) < 2,
+        col("id") - pmod(col("id"), lit(2))).otherwise(col("id"))
+      val vecs = s.range(nVec).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)), j =>
+          ((pmod(xxhash64(base, j), lit(2000001L)) - 1000000L).cast("double")
+            / 1000000.0 +
+            (pmod(xxhash64(col("id"), j, lit(7)), lit(2001L)) - 1000L)
+              .cast("double") / 1000000.0).cast("float")).as("embedding"))
+      val pairs = graft.operators.Dedup.embeddingDupPairs(vecs, "vec_id",
+        "embedding", dim, threshold = 0.99, maxBucket = 2000)
+      val r = pairs.agg(count(lit(1)), coalesce(
+        sum(hash(col("id_a"), col("id_b")).cast("long")), lit(0L)))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+
+    // cluster-round scaling (VERDICT r4 #6): large-star/small-star CC
+    // over ~15M chain edges (1M chains of length 16 — the high-diameter
+    // shape where min-label's per-round full-label double-join is the
+    // bottleneck; the star ops' per-round work follows the shrinking
+    // edge set). 4x the docs ladder's row count ON PURPOSE: iterative
+    // CC pays a fixed per-round barrier (scheduling + checkpoint), and
+    // at small edge counts that barrier — not the operator — is what a
+    // core-scaling ratio measures; at 10^12 edges the rounds are hours
+    // and the barrier vanishes, so fat rounds are the honest shape.
+    // Deterministic graph, checksum = (label count, label hash sum) —
+    // parallelism-invariant.
+    val nCC = 16000000L
+    twoLevel("scale_ladder_cc_star", nCC, repsLo = 1, repsHi = 2) { s =>
+      import org.apache.spark.sql.functions._
+      val pairs = s.range(nCC).where(pmod(col("id"), lit(16)) =!= 15)
         .select(col("id").as("id_a"), (col("id") + 1L).as("id_b"))
       val labels = graft.operators.Dedup
         .connectedComponentsStar(pairs, "id_a", "id_b")
