@@ -300,6 +300,55 @@ object Bench {
       (r.getLong(0), r.getLong(1))
     }
 
+    // q40 COMPUTE phase: map-only banded hyperplane signatures over the
+    // same vectors (no exchange anywhere) — the LSH chain's analog of
+    // the spectrum_compute row. Together with the shuffle baseline
+    // below it decomposes the q40 rows: signatures are CPU-bound and
+    // scale; the bucket window + self-join push the row's ~GBs through
+    // the ONE box's shuffle disk, a per-node resource on a real cluster.
+    twoLevel("scale_ladder_q40_sig", nVec) { s =>
+      import org.apache.spark.sql.functions._
+      val dim = 16
+      val base = when(pmod(col("id"), lit(16)) < 2,
+        col("id") - pmod(col("id"), lit(2))).otherwise(col("id"))
+      val vecs = s.range(nVec).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)), j =>
+          ((pmod(xxhash64(base, j), lit(2000001L)) - 1000000L).cast("double")
+            / 1000000.0 +
+            (pmod(xxhash64(col("id"), j, lit(7)), lit(2001L)) - 1000L)
+              .cast("double") / 1000000.0).cast("float")).as("embedding"))
+      val v = vecs.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val sig = v.select(col("vec_id"),
+        graft.operators.Similarity.hyperplaneSigBand(col("v"), dim, 16, 0, 2)
+          .as("s0"),
+        graft.operators.Similarity.hyperplaneSigBand(col("v"), dim, 16, 1, 2)
+          .as("s1"))
+      val r = sig.agg(count(lit(1)), coalesce(
+        sum(hash(col("s0"), col("s1")).cast("long")), lit(0L))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+
+    // Shuffle-bandwidth baseline: the q40 row's data volume (4M rows ×
+    // 16-float vectors) through ONE full hash exchange and nothing else.
+    // The single box serializes every shuffle through shared /tmp disk +
+    // DRAM — the same per-node resource the scan row isolates for reads.
+    // Whatever this row scales at is the box's ceiling for any
+    // shuffle-dominated operator; on a real cluster each executor ships
+    // its own disks and NICs.
+    twoLevel("scale_ladder_shuffle_baseline", nVec) { s =>
+      import org.apache.spark.sql.functions._
+      val vecs = s.range(nVec).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(15)), j =>
+          pmod(xxhash64(col("id"), j), lit(1000003L)).cast("float"))
+          .as("embedding"))
+      val r = vecs.repartition(col("vec_id"))
+        .agg(count(lit(1)), coalesce(
+          sum(hash(col("vec_id"), col("embedding")).cast("long")), lit(0L)))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+
     // cluster-round scaling (VERDICT r4 #6): large-star/small-star CC
     // over ~15M chain edges (1M chains of length 16 — the high-diameter
     // shape where min-label's per-round full-label double-join is the
