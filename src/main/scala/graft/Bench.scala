@@ -92,6 +92,27 @@ object Bench {
       try src.mkString.split(" ")(0).toDouble finally src.close()
     } catch { case _: Throwable => -1.0 }
 
+  /** Load-gated settle: wait (bounded) for the 1-min loadavg to decay
+    * below `below` before starting a measured leg. Between legs the
+    * bench's own JVM is stopped, so a high reading is either the
+    * residual of our own just-finished leg (decays on the ~1-min
+    * loadavg horizon) or a real external burst — in both cases starting
+    * immediately hands the measurement a dirty window (the r5 run-C
+    * ladder recorded a map-only compute row at 0.323 purely because its
+    * p16 leg launched into the previous row's tail). Conditioned ONLY
+    * on the host-load instrument, never on the reported metric: every
+    * configured rep still runs, so there is no optional-stopping bias.
+    * Returns the load observed when the leg actually starts. */
+  private def settle(below: Double, maxWaitSec: Int): Double = {
+    val deadline = System.nanoTime() + maxWaitSec * 1000000000L
+    var l = loadAvg()
+    while (l > below && System.nanoTime() < deadline) {
+      Thread.sleep(5000)
+      l = loadAvg()
+    }
+    l
+  }
+
   /** Scale-ladder evidence (`runMain graft.Bench ladder`): the SAME
     * headline pipeline at 10x the bench rows (4M docs ≈ 1.2B tokens) and
     * a 4x-higher parallelism pair (local[4] -> local[16]) — a second
@@ -149,8 +170,8 @@ object Bench {
       }
     } catch { case _: Throwable => Map.empty }
 
-    val (t4Run, chk4, load4) = { val l = loadAvg(); val (t, c) = level(4, 2); (t, c, l) }
-    val (t16Run, chk16, load16) = { val l = loadAvg(); val (t, c) = level(16, 3); (t, c, l) }
+    val (t4Run, chk4, load4) = { val l = settle(4.0, 150); val (t, c) = level(4, 2); (t, c, l) }
+    val (t16Run, chk16, load16) = { val l = settle(4.0, 150); val (t, c) = level(16, 3); (t, c, l) }
     require(chk4._1 == chk16._1 &&
       math.abs(chk4._3 - chk16._3) < math.abs(chk4._3) * 1e-9 + 1e-6,
       s"parallelism changed the answer: $chk4 vs $chk16")
@@ -174,7 +195,7 @@ object Bench {
       // our own just-finished 16-thread leg (no real contention) — the
       // pair makes "loaded host" vs "own residual" auditable
       def levelW(cores: Int, reps: Int): (Double, (Long, Long), Double, Double) = {
-        val load = loadAvg()
+        val load = settle(4.0, 150)
         val s = session(cores)
         var chk = (0L, 0L)
         val t = minOf(reps) { chk = work(s) } // rep 1 warms the page cache
@@ -576,7 +597,9 @@ object Bench {
     var done = false
 
     while (!done) {
-      val loadL = loadAvg()
+      // settle gate (60 s cap: 5 attempts x 2 legs bounds the driver's
+      // added wall-clock at 10 min even on a never-quiet host)
+      val loadL = settle(4.0, 60)
       // --- headline at N (primary = native Catalyst as-of operator) ---
       spark = session(lowCores)
       var seqs = spark.read.parquet(seqPath)
@@ -598,7 +621,7 @@ object Bench {
       })
       spark.stop()
 
-      val loadH = loadAvg()
+      val loadH = settle(4.0, 60)
       // --- headline at 4N ---
       spark = session(highCores)
       seqs = spark.read.parquet(seqPath)

@@ -58,6 +58,19 @@ class PlanFingerprintSpec extends AnyFunSuite {
     assert(fp.exchanges == 3, s"native as-of exchanges: ${fp.exchanges}")
   }
 
+  test("q35 CC cluster assembly: lineage truncated, no cartesian") {
+    // the iterative CC rounds checkpoint per round (lineage truncation
+    // is itself the scale-safety property), so the final plan is the
+    // label-assembly stage: it must stay small and equi-join-only. The
+    // one deliberate BNL join is q35's input (the q33 exact baseline).
+    val fp = PlanFingerprint.of(Queries3.q35DedupClusters(spark, dir))
+    info(s"q35: ${fp.json}")
+    assert(fp.cartesians == 0, "CC assembly must stay equi-join")
+    assert(fp.exchanges <= 3,
+      s"q35 assembly grew to ${fp.exchanges} exchanges — lineage " +
+        "truncation may have stopped cutting the per-round joins")
+  }
+
   test("window as-of (q2): no cartesian/NL stage") {
     val fp = PlanFingerprint.of(Queries.q2AsofJoin(spark, dir))
     info(s"q2: ${fp.json}")
