@@ -118,8 +118,16 @@ object Bench {
     * a 4x-higher parallelism pair (local[4] -> local[16]) — a second
     * point on the (data, cores) ladder showing seq/s-per-core holds as
     * both axes grow, the sandbox stand-in for "would survive 100x".
-    * Writes BENCH/ladder.json. */
-  private def ladder(): Unit = {
+    * Writes BENCH/ladder.json.
+    *
+    * `only` (from `runMain graft.Bench ladder <substring>`) restricts
+    * the run to rows whose metric contains the substring; rows NOT run
+    * keep their existing ladder.json lines verbatim. This exists so one
+    * disturbed leg (e.g. a p4 leg that launched into a cold page cache
+    * after a host reboot) can be re-recorded on a quiet window without
+    * paying — and re-dirtying — the full ~1 h surface. */
+  private def ladder(only: Option[String] = None): Unit = {
+    def want(metric: String): Boolean = only.forall(metric.contains)
     val nDocs = 4000000L
     val seqPath = s"/tmp/graft_bench_seqs_n${nDocs}_seed42"
     var spark = session(32)
@@ -170,18 +178,23 @@ object Bench {
       }
     } catch { case _: Throwable => Map.empty }
 
-    val (t4Run, chk4, load4) = { val l = settle(4.0, 150); val (t, c) = level(4, 2); (t, c, l) }
-    val (t16Run, chk16, load16) = { val l = settle(4.0, 150); val (t, c) = level(16, 3); (t, c, l) }
-    require(chk4._1 == chk16._1 &&
-      math.abs(chk4._3 - chk16._3) < math.abs(chk4._3) * 1e-9 + 1e-6,
-      s"parallelism changed the answer: $chk4 vs $chk16")
-    val (pA4, pA16) = priorLadder.getOrElse("scale_ladder_native_asof",
-      (Double.MaxValue, Double.MaxValue))
-    val t4 = math.min(t4Run, pA4)
-    val t16 = math.min(t16Run, pA16)
-    val eff = (t4 / t16) / 4.0
-    val lines = scala.collection.mutable.ListBuffer(
-      f"""{"metric":"scale_ladder_native_asof","code":"$codeId%s","n_docs":$nDocs,"p4_sec":$t4%.3f,"p16_sec":$t16%.3f,"seq_per_sec_p16":${nDocs / t16}%.1f,"scaling_efficiency_4_to_16":$eff%.3f,"p4_run_sec":$t4Run%.3f,"p16_run_sec":$t16Run%.3f,"load_p4":$load4%.2f,"load_p16":$load16%.2f}""")
+    val lines = scala.collection.mutable.ListBuffer.empty[String]
+    if (want("scale_ladder_native_asof")) {
+      val (t4Run, chk4, load4) = { val l = settle(4.0, 150); val (t, c) = level(4, 2); (t, c, l) }
+      val (t16Run, chk16, load16) = { val l = settle(4.0, 150); val (t, c) = level(16, 3); (t, c, l) }
+      require(chk4._1 == chk16._1 &&
+        math.abs(chk4._3 - chk16._3) < math.abs(chk4._3) * 1e-9 + 1e-6,
+        s"parallelism changed the answer: $chk4 vs $chk16")
+      val (pA4, pA16) = priorLadder.getOrElse("scale_ladder_native_asof",
+        (Double.MaxValue, Double.MaxValue))
+      val t4 = math.min(t4Run, pA4)
+      val t16 = math.min(t16Run, pA16)
+      val eff = (t4 / t16) / 4.0
+      val line =
+        f"""{"metric":"scale_ladder_native_asof","code":"$codeId%s","n_docs":$nDocs,"p4_sec":$t4%.3f,"p16_sec":$t16%.3f,"seq_per_sec_p16":${nDocs / t16}%.1f,"scaling_efficiency_4_to_16":$eff%.3f,"p4_run_sec":$t4Run%.3f,"p16_run_sec":$t16Run%.3f,"load_p4":$load4%.2f,"load_p16":$load16%.2f}"""
+      lines += line
+      println(line)
+    }
 
     // ---- round-3-surface rows: the SAME 4->16-core protocol for the
     // spectrum (q53, map-only native expression), contamination (q54,
@@ -189,7 +202,7 @@ object Bench {
     // connected components + anti join) operators, each on 4M-row
     // deterministic inputs with a parallelism-invariant checksum.
     def twoLevel(metric: String, rows: Long, repsLo: Int = 2, repsHi: Int = 3)
-        (work: SparkSession => (Long, Long)): Unit = {
+        (work: SparkSession => (Long, Long)): Unit = if (want(metric)) {
       // pre-leg AND post-leg 1-min loadavg: ladder rows run back to
       // back, so a p4 leg's pre-leg reading is often the RESIDUAL of
       // our own just-finished 16-thread leg (no real contention) — the
@@ -396,8 +409,22 @@ object Bench {
 
     val out = new java.io.File("BENCH/ladder.json")
     out.getParentFile.mkdirs()
+    // keep existing lines for rows NOT (re-)recorded this run, so a
+    // filtered run patches its rows into the artifact instead of
+    // truncating it
+    val produced = lines.map(l =>
+      """"metric":"([^"]+)"""".r.findFirstMatchIn(l).get.group(1)).toSet
+    val preserved: Seq[String] =
+      if (!out.exists()) Seq.empty
+      else {
+        val src = scala.io.Source.fromFile(out)
+        try src.getLines().filter { l =>
+          """"metric":"([^"]+)"""".r.findFirstMatchIn(l)
+            .forall(m => !produced.contains(m.group(1)))
+        }.toList finally src.close()
+      }
     val w = new java.io.PrintWriter(out)
-    try lines.foreach(w.println) finally w.close()
+    try (lines ++ preserved).foreach(w.println) finally w.close()
   }
 
   /** Hot-key skew evidence (`runMain graft.Bench skew`): an entity owning
@@ -539,7 +566,10 @@ object Bench {
     // make every f"...%.3f" emit invalid JSON (ADVICE r3). Pin ROOT for
     // the whole bench JVM (covers ladder/skew/dedup lines too).
     java.util.Locale.setDefault(java.util.Locale.ROOT)
-    if (args.contains("ladder")) { ladder(); return }
+    if (args.contains("ladder")) {
+      ladder(args.dropWhile(_ != "ladder").drop(1).headOption)
+      return
+    }
     if (args.contains("skew")) { skew(); return }
     if (args.contains("dedup")) { dedupScale(); return }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,6 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.engine.{Queries, Queries2, Queries3, Queries4, Queries5}
+import graft.engine.{Queries, Queries2, Queries3, Queries4, Queries5,
+  Queries6}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -12,11 +13,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.all ++ Queries2.all ++ Queries3.all ++ Queries4.all ++
-      Queries5.all
+      Queries5.all ++ Queries6.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Queries.oracle ++ Queries2.oracle ++ Queries3.oracle ++
-      Queries4.oracle ++ Queries5.oracle
+      Queries4.oracle ++ Queries5.oracle ++ Queries6.oracle
 }

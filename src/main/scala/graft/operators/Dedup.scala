@@ -116,6 +116,52 @@ object Dedup {
       .where(col("__rn") === 1).drop("__rn")
   }
 
+  /** Segment-level exact dedup with keep-first semantics — the C4 /
+    * RefinedWeb "line dedup" step: each segment (line / paragraph /
+    * chunk) survives ONLY at its first global occurrence, i.e. the
+    * lexicographically smallest (doc id, position) over every exact
+    * occurrence of that segment text, and each document is reassembled
+    * from its surviving segments in original order.
+    *
+    * Scale shape: the explode is map-side; the keeper election is ONE
+    * aggregate keyed on segment content; the survivor filter is an
+    * equi-join on that same key (Catalyst reuses the exchange);
+    * reassembly is one aggregate on the doc id. No self-join and no
+    * corpus-wide window — every shuffle is keyed and linear in the
+    * segment count, so a boilerplate segment repeated 10^9 times costs
+    * one combine-heavy group, not a blown partition. The output is
+    * TOTAL over input docs: a doc whose every segment is a repeat
+    * survives with n_kept = 0 and an empty segment list (left join back
+    * to the input), so downstream length filters see it rather than
+    * silently losing the row.
+    *
+    * `idCol` must be orderable and unique per doc; `segsCol` is an
+    * `array<string>` column (callers choose the segmentation: lines,
+    * paragraphs, fixed token windows).
+    */
+  def dedupSegmentsKeepFirst(df: DataFrame, idCol: String,
+      segsCol: String): DataFrame = {
+    val ex = df.select(col(idCol).as("__id"),
+      posexplode(col(segsCol)).as(Seq("__pos", "__seg")))
+    val keeper = ex.groupBy(col("__seg"))
+      .agg(min(struct(col("__id"), col("__pos"))).as("__keep"))
+    val surv = ex.join(keeper, "__seg")
+      .where(col("__keep.__id") === col("__id") &&
+        col("__keep.__pos") === col("__pos"))
+    val reassembled = surv.groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_sort(collect_list(struct(col("__pos"), col("__seg"))))
+          .as("__ordered"))
+      .select(col("__id"), col("n_kept"),
+        transform(col("__ordered"), s => s.getField("__seg"))
+          .as("kept_segments"))
+    df.select(col(idCol)).join(reassembled, col(idCol) === col("__id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_segments"), array().cast("array<string>"))
+          .as("kept_segments"))
+  }
+
   /** Candidate pairs from MinHash + banded LSH over a token column.
     *
     * signature[h] = min over tokens of affine hash h; `bands` bands of

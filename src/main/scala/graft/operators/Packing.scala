@@ -35,14 +35,27 @@ object Packing {
       orderCol: String,
       lenCol: String,
       binSize: Long,
-      partitions: Int = 0): DataFrame = {
+      partitions: Int = 0): DataFrame =
+    packGreedy(df, Seq(orderCol), lenCol, binSize, partitions)
+
+  /** Multi-column order variant: the stream order is the lexicographic
+    * order of `orderCols` (the COMBINED key must be unique — e.g. a
+    * pseudo-random hash column tie-broken by the doc id, the epoch
+    * shuffle's layout). Same one-exchange prefix-sum machinery. */
+  def packGreedy(
+      df: DataFrame,
+      orderCols: Seq[String],
+      lenCol: String,
+      binSize: Long,
+      partitions: Int): DataFrame = {
     require(binSize > 0, "binSize must be positive")
+    require(orderCols.nonEmpty, "at least one order column required")
     val spark = df.sparkSession
     val n = if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
 
-    val ranged = df.repartitionByRange(n, col(orderCol))
-      .sortWithinPartitions(col(orderCol))
+    val ranged = df.repartitionByRange(n, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
       .withColumn("__pid", spark_partition_id())
     val outSchema = ranged.schema.add("__lsum", LongType, nullable = false)
     val lenIdx = ranged.schema.fieldIndex(lenCol)

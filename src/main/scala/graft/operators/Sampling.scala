@@ -58,7 +58,7 @@ object Sampling {
     * pmod/floor-div hash DOES produce a value for a negative key, but the
     * oracle CTEs use plain `%`/`//` — a negative id would silently select
     * DIFFERENT rows across the two faces. Fail loudly instead. */
-  private def nonNegative(keyCol: String): Column = {
+  private[operators] def nonNegative(keyCol: String): Column = {
     val k = col(keyCol).cast("long")
     when(k < 0, raise_error(concat(
       lit(s"graft.Sampling: negative key in column '$keyCol' ("), k.cast("string"),
@@ -105,5 +105,38 @@ object Sampling {
       .withColumn("__cut", coalesce(col("__cut"), lit(cutFor(defaultRate))))
       .where(selectionHash(nonNegative(keyCol), salt) < col("__cut"))
       .drop("__stratum", "__cut")
+  }
+
+  /** Deterministic EPOCH SHUFFLE: a global pseudo-random training order
+    * and fixed-size batch assignment as a PURE function of (key, epoch).
+    *
+    * Why not `orderBy(rand(seed))`: rand is partition-order-dependent —
+    * the same SPARK-23207 retry trap `byHash` documents — and a
+    * `row_number()` window over a global order funnels the corpus
+    * through ONE partition. Here the order key is the exact-int64
+    * selection hash (tie-broken by the unique key itself), and the
+    * zero-based global position comes from [[Packing.packGreedy]]'s
+    * distributed prefix sum with unit lengths: one range exchange, one
+    * imperative per-partition pass, one row per partition to the
+    * driver. Re-running any task, changing the partition count, or
+    * resuming after a failure yields byte-identical (position, batch)
+    * assignments, and each epoch draws an independent permutation —
+    * exactly what a resumable multi-epoch data loader needs.
+    *
+    * Output adds `epoch_pos` (0-based position in the epoch's stream)
+    * and `batch` (= epoch_pos div batchSize). Keys must be unique,
+    * non-negative integral ids (enforced at runtime like `byHash`).
+    */
+  def epochShuffle(df: DataFrame, keyCol: String, epoch: Long,
+      batchSize: Long): DataFrame = {
+    require(batchSize > 0, s"batchSize $batchSize must be positive")
+    val withH = df
+      .withColumn("__h", selectionHash(nonNegative(keyCol), epoch))
+      .withColumn("__one", lit(1L))
+    Packing.packGreedy(withH, Seq("__h", keyCol), "__one", batchSize,
+        partitions = 0)
+      .withColumnRenamed("pack_start", "epoch_pos")
+      .withColumnRenamed("pack_bin", "batch")
+      .drop("__h", "__one")
   }
 }
