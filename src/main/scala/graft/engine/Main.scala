@@ -49,6 +49,8 @@ object Main {
       contaminationCheck: Option[String] = None,
       dropContaminated: Boolean = false,
       contaminationThreshold: Double = 0.9,
+      redact: Boolean = false,
+      redactColumn: String = "text",
       list: Boolean = false,
       skeleton: Option[String] = None,
       help: Boolean = false)
@@ -76,6 +78,10 @@ object Main {
       |  [--drop-contaminated]   (with --contamination-check: write the
       |      surviving corpus as parquet to --output, report beside it)
       |  [--contamination-threshold X]   (drop confidence, default 0.9)
+      |  [--redact]   (PII redaction over a raw parquet document table:
+      |      email/phone/IPv4 rule chain adds n_<rule>/n_redacted/
+      |      redacted_text columns, parquet out at --output)
+      |  [--redact-column NAME]   (text column, default "text")
       |  [--list] [--skeleton PLUGIN] [--help]
       |""".stripMargin
 
@@ -130,6 +136,9 @@ object Main {
         loop(t, c.copy(dropContaminated = true))
       case "--contamination-threshold" :: v :: t =>
         loop(t, c.copy(contaminationThreshold = v.toDouble))
+      case "--redact" :: t => loop(t, c.copy(redact = true))
+      case "--redact-column" :: v :: t =>
+        loop(t, c.copy(redactColumn = v))
       case "--list" :: t => loop(t, c.copy(list = true))
       case "--skeleton" :: v :: t => loop(t, c.copy(skeleton = Some(v)))
       case other :: _ =>
@@ -205,6 +214,7 @@ object Main {
     require(c.input.nonEmpty, "--input required")
     require(c.output.nonEmpty, "--output required")
     if (c.contaminationCheck.nonEmpty) { runContamination(spark, c); return }
+    if (c.redact) { runRedact(spark, c); return }
     // compile transforms BEFORE touching the input (reference lifecycle:
     // transform parse errors and "no transforms given" precede source
     // opening — a missing input path must not mask a transform mistake)
@@ -415,6 +425,23 @@ object Main {
         .write.mode(mode).parquet(c.output)
       pairs.unpersist()
     }
+  }
+
+  /** `--redact`: the PII redaction chain reachable without writing
+    * Scala. Reads `--input` as a RAW parquet table (any schema carrying
+    * the text column — this mode takes documents, not the sequences
+    * projection), applies [[graft.operators.Redact.defaultRules]], and
+    * writes the input columns plus n_<rule>/n_redacted/redacted_text as
+    * parquet at `--output`. Map-only end to end: no shuffle is
+    * introduced, so partitioning/pruning of the input carries through. */
+  private def runRedact(spark: SparkSession, c: Config): Unit = {
+    val df = spark.read.parquet(c.input)
+    require(df.columns.contains(c.redactColumn),
+      s"--redact: input has no '${c.redactColumn}' column " +
+        s"(columns: ${df.columns.mkString(", ")})")
+    val mode = if (c.csv.force) "overwrite" else "errorifexists"
+    graft.operators.Redact.redact(df, c.redactColumn)
+      .write.mode(mode).parquet(c.output)
   }
 
   def main(args: Array[String]): Unit = {

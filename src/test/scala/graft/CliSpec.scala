@@ -240,6 +240,34 @@ class CliSpec extends AnyFunSuite {
       .nonEmpty)
   }
 
+  test("redact CLI: rule chain over a raw document table end-to-end") {
+    val docsPath = tmp("graftredact") + "/docs"
+    Seq(
+      (1L, "write to a@b.org or call +1-555-123-4567"),
+      (2L, "host 10.0.0.1 responded"),
+      (3L, "nothing sensitive here"))
+      .toDF("doc_id", "text").write.parquet(docsPath)
+    val out = tmp("graftredactout") + "/redacted"
+    Main.run(spark, Main.parseArgs(Seq(
+      "--input", docsPath, "--redact", "--output", out)))
+    val got = spark.read.parquet(out)
+      .select("doc_id", "n_email", "n_phone", "n_ipv4", "n_redacted",
+        "redacted_text")
+      .orderBy("doc_id")
+      .as[(Long, Int, Int, Int, Int, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1, 1, 0, 2, "write to <EMAIL> or call <PHONE>"),
+      (2L, 0, 0, 1, 1, "host <IP> responded"),
+      (3L, 0, 0, 0, 0, "nothing sensitive here")))
+    // missing text column fails loudly, naming the columns it saw
+    val e = intercept[IllegalArgumentException] {
+      Main.run(spark, Main.parseArgs(Seq(
+        "--input", docsPath, "--redact", "--redact-column", "body",
+        "--output", out + "2")))
+    }
+    assert(e.getMessage.contains("no 'body' column"))
+  }
+
   test("salted two-stage aggregation equals the one-stage plan") {
     val feats = SequenceGen.featureTimeline(spark, 30, 20)
       .withColumnRenamed("v", "value")

@@ -1,7 +1,8 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.engine.{PlanFingerprint, PlanProbes, Queries, Queries3, Queries5}
+import graft.engine.{PlanFingerprint, PlanProbes, Queries, Queries3,
+  Queries5, Queries6}
 
 /** Plan-shape regression net over the heavy gate chains (VERDICT r4 #3):
   * the scale-safety claims — capped bucket equi-joins, native one-pass
@@ -69,6 +70,38 @@ class PlanFingerprintSpec extends AnyFunSuite {
     assert(fp.exchanges <= 3,
       s"q35 assembly grew to ${fp.exchanges} exchanges — lineage " +
         "truncation may have stopped cutting the per-round joins")
+  }
+
+  test("q59 segment dedup: keyed equi-joins only, bounded exchanges") {
+    val fp = PlanFingerprint.of(Queries6.q59SegmentDedup(spark, dir))
+    info(s"q59: ${fp.json}")
+    assert(fp.cartesians == 0 && fp.broadcastNLJoins == 0,
+      "keep-first election must stay a keyed aggregate + equi-join")
+    // keeper agg on segment + survivor join + reassembly agg on doc +
+    // join back to input + final orderBy; allow BHJ<->SMJ wobble
+    assert(fp.exchanges <= 8,
+      s"segment-dedup chain grew to ${fp.exchanges} exchanges")
+  }
+
+  test("q60 redact: map-only above the scan (single orderBy exchange)") {
+    val fp = PlanFingerprint.of(Queries6.q60Redact(spark, dir))
+    info(s"q60: ${fp.json}")
+    assert(fp.exchanges == 1, s"redact must stay map-only, " +
+      s"got ${fp.exchanges} exchanges")
+    assert(fp.broadcastHashJoins == 0 && fp.sortMergeJoins == 0 &&
+      fp.cartesians == 0 && fp.broadcastNLJoins == 0)
+  }
+
+  test("q61 epoch shuffle: prefix-sum layout, no corpus re-shuffle") {
+    // packGreedy materializes the ranged prefix sums, so the visible
+    // plan is the broadcast offsets join + the gate's orderBy — the
+    // corpus is never hash-shuffled after the ONE range exchange
+    val fp = PlanFingerprint.of(Queries6.q61EpochShuffle(spark, dir))
+    info(s"q61: ${fp.json}")
+    assert(fp.cartesians == 0 && fp.broadcastNLJoins == 0 &&
+      fp.sortMergeJoins == 0)
+    assert(fp.exchanges <= 2,
+      s"epoch-shuffle assembly grew to ${fp.exchanges} exchanges")
   }
 
   test("window as-of (q2): no cartesian/NL stage") {
