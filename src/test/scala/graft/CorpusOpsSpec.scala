@@ -43,6 +43,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(run(df) == run(df.repartition(13)))
   }
 
+  test("segment dedup equals a sequential reference on random corpora") {
+    val rnd = new scala.util.Random(11)
+    val docs = (0L until 120L).map { id =>
+      (id, Seq.fill(rnd.nextInt(6))(s"s${rnd.nextInt(12)}"))
+    }
+    // reference semantics: walk docs in id order, positions in order; a
+    // segment survives only the first time it is EVER seen
+    val seen = scala.collection.mutable.Set.empty[String]
+    val expected = docs.sortBy(_._1).map { case (id, segs) =>
+      val kept = segs.filter(s => seen.add(s))
+      (id, kept.size.toLong, kept)
+    }
+    val got = Dedup.dedupSegmentsKeepFirst(
+        docs.toDF("doc_id", "segs").repartition(7), "doc_id", "segs")
+      .orderBy("doc_id").as[(Long, Long, Seq[String])].collect().toSeq
+    assert(got == expected)
+  }
+
   // ------------------------------------------------------- redact (q60)
 
   test("redact counts and replaces each rule, in order") {
@@ -87,6 +105,22 @@ class CorpusOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Redact.redact(df, "text", Seq(r, r))
     }
+  }
+
+  test("redact applies to a stream unchanged (stateless map-only)") {
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    val q = Redact.redact(in.toDF.toDF("doc_id", "text"), "text")
+      .writeStream.format("memory").queryName("redact_stream")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "a b@c.org"), (2L, "plain"))
+      q.processAllAvailable()
+      val got = spark.table("redact_stream").orderBy("doc_id")
+        .select($"n_email", $"redacted_text")
+        .as[(Int, String)].collect().toSeq
+      assert(got == Seq((1, "a <EMAIL>"), (0, "plain")))
+    } finally q.stop()
   }
 
   // ------------------------------------------------ epoch shuffle (q61)
