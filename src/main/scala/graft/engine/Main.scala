@@ -51,6 +51,11 @@ object Main {
       contaminationThreshold: Double = 0.9,
       redact: Boolean = false,
       redactColumn: String = "text",
+      segmentDedup: Boolean = false,
+      segmentDelimiter: String = "\n",
+      epochShuffle: Option[Long] = None,
+      batchSize: Long = 1024L,
+      keyColumn: String = "doc_id",
       list: Boolean = false,
       skeleton: Option[String] = None,
       help: Boolean = false)
@@ -81,7 +86,19 @@ object Main {
       |  [--redact]   (PII redaction over a raw parquet document table:
       |      email/phone/IPv4 rule chain adds n_<rule>/n_redacted/
       |      redacted_text columns, parquet out at --output)
-      |  [--redact-column NAME]   (text column, default "text")
+      |  [--redact-column NAME]   (text column for --redact and
+      |      --segment-dedup, default "text")
+      |  [--segment-dedup]   (line-level keep-first dedup over a raw
+      |      parquet document table: each segment survives only at its
+      |      first (key, position) occurrence corpus-wide; docs are
+      |      reassembled in order with an n_kept column, parquet out)
+      |  [--segment-delimiter S]   (segment split string, default "\n")
+      |  [--epoch-shuffle E]   (deterministic epoch shuffle: adds
+      |      epoch_pos + batch as a pure function of (key, epoch E) —
+      |      retry/resume-stable global training order, parquet out)
+      |  [--batch-size N]   (with --epoch-shuffle, default 1024)
+      |  [--key-column NAME]   (unique non-negative integral id column
+      |      for --segment-dedup/--epoch-shuffle, default "doc_id")
       |  [--list] [--skeleton PLUGIN] [--help]
       |""".stripMargin
 
@@ -139,6 +156,15 @@ object Main {
       case "--redact" :: t => loop(t, c.copy(redact = true))
       case "--redact-column" :: v :: t =>
         loop(t, c.copy(redactColumn = v))
+      case "--segment-dedup" :: t => loop(t, c.copy(segmentDedup = true))
+      case "--segment-delimiter" :: v :: t =>
+        loop(t, c.copy(segmentDelimiter = v))
+      case "--epoch-shuffle" :: v :: t =>
+        loop(t, c.copy(epochShuffle = Some(v.toLong)))
+      case "--batch-size" :: v :: t =>
+        loop(t, c.copy(batchSize = v.toLong))
+      case "--key-column" :: v :: t =>
+        loop(t, c.copy(keyColumn = v))
       case "--list" :: t => loop(t, c.copy(list = true))
       case "--skeleton" :: v :: t => loop(t, c.copy(skeleton = Some(v)))
       case other :: _ =>
@@ -215,6 +241,8 @@ object Main {
     require(c.output.nonEmpty, "--output required")
     if (c.contaminationCheck.nonEmpty) { runContamination(spark, c); return }
     if (c.redact) { runRedact(spark, c); return }
+    if (c.segmentDedup) { runSegmentDedup(spark, c); return }
+    if (c.epochShuffle.nonEmpty) { runEpochShuffle(spark, c); return }
     // compile transforms BEFORE touching the input (reference lifecycle:
     // transform parse errors and "no transforms given" precede source
     // opening — a missing input path must not mask a transform mistake)
@@ -441,6 +469,45 @@ object Main {
         s"(columns: ${df.columns.mkString(", ")})")
     val mode = if (c.csv.force) "overwrite" else "errorifexists"
     graft.operators.Redact.redact(df, c.redactColumn)
+      .write.mode(mode).parquet(c.output)
+  }
+
+  /** `--segment-dedup`: corpus-wide line-level keep-first dedup over a
+    * raw parquet document table. Splits the text column on
+    * `--segment-delimiter`, runs [[graft.operators.Dedup.dedupSegmentsKeepFirst]]
+    * (first (key, position) occurrence survives), and writes (key,
+    * n_kept, reassembled text) as parquet. All-repeat docs stay visible
+    * with n_kept = 0. */
+  private def runSegmentDedup(spark: SparkSession, c: Config): Unit = {
+    import org.apache.spark.sql.functions.{array_join, split => fsplit}
+    val df = spark.read.parquet(c.input)
+    require(df.columns.contains(c.redactColumn),
+      s"--segment-dedup: input has no '${c.redactColumn}' column " +
+        s"(columns: ${df.columns.mkString(", ")})")
+    require(df.columns.contains(c.keyColumn),
+      s"--segment-dedup: input has no '${c.keyColumn}' column")
+    val segs = df.select(col(c.keyColumn),
+      fsplit(col(c.redactColumn),
+        java.util.regex.Pattern.quote(c.segmentDelimiter)).as("__segs"))
+    val mode = if (c.csv.force) "overwrite" else "errorifexists"
+    graft.operators.Dedup.dedupSegmentsKeepFirst(segs, c.keyColumn, "__segs")
+      .select(col(c.keyColumn), col("n_kept"),
+        array_join(col("kept_segments"), c.segmentDelimiter)
+          .as(c.redactColumn))
+      .write.mode(mode).parquet(c.output)
+  }
+
+  /** `--epoch-shuffle E`: the deterministic (key, epoch)-pure training
+    * order + batch assignment ([[graft.operators.Sampling.epochShuffle]])
+    * over any parquet table with a unique non-negative integral key. */
+  private def runEpochShuffle(spark: SparkSession, c: Config): Unit = {
+    val df = spark.read.parquet(c.input)
+    require(df.columns.contains(c.keyColumn),
+      s"--epoch-shuffle: input has no '${c.keyColumn}' column " +
+        s"(columns: ${df.columns.mkString(", ")})")
+    val mode = if (c.csv.force) "overwrite" else "errorifexists"
+    graft.operators.Sampling
+      .epochShuffle(df, c.keyColumn, c.epochShuffle.get, c.batchSize)
       .write.mode(mode).parquet(c.output)
   }
 

@@ -268,6 +268,40 @@ class CliSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no 'body' column"))
   }
 
+  test("segment-dedup CLI: line dedup with reassembly end-to-end") {
+    val docsPath = tmp("graftsegdd") + "/docs"
+    Seq(
+      (1L, "alpha\nbeta\nalpha"), // 3rd line repeats the 1st
+      (2L, "beta\ngamma"),        // "beta" lost to doc 1
+      (3L, "alpha\nbeta"))        // nothing left
+      .toDF("doc_id", "text").write.parquet(docsPath)
+    val out = tmp("graftsegddout") + "/deduped"
+    Main.run(spark, Main.parseArgs(Seq(
+      "--input", docsPath, "--segment-dedup", "--output", out)))
+    val got = spark.read.parquet(out)
+      .select("doc_id", "n_kept", "text").orderBy("doc_id")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, "alpha\nbeta"),
+      (2L, 1L, "gamma"),
+      (3L, 0L, "")))
+  }
+
+  test("epoch-shuffle CLI: permutation + batches end-to-end") {
+    val docsPath = tmp("graftepoch") + "/docs"
+    (0L until 200L).toDF("doc_id").write.parquet(docsPath)
+    val out = tmp("graftepochout") + "/shuffled"
+    Main.run(spark, Main.parseArgs(Seq(
+      "--input", docsPath, "--epoch-shuffle", "4",
+      "--batch-size", "32", "--output", out)))
+    val got = spark.read.parquet(out)
+      .select("doc_id", "epoch_pos", "batch")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(_._2).sorted == (0L until 200L))
+    assert(got.forall { case (_, p, b) => b == p / 32 })
+    assert(got.sortBy(_._2).map(_._1) != (0L until 200L).toSeq)
+  }
+
   test("salted two-stage aggregation equals the one-stage plan") {
     val feats = SequenceGen.featureTimeline(spark, 30, 20)
       .withColumnRenamed("v", "value")
