@@ -142,7 +142,14 @@ object Queries3 {
     * whose hyperplane-LSH blocking is recall<1 by design and asserted a
     * subset of THIS result in ScalaTest). Broadcast one side: map-only,
     * no shuffle; at 10^12 rows the LSH variant replaces the cross join. */
-  def q33EmbedDup(s: SparkSession, dir: String): DataFrame = {
+  def q33EmbedDup(s: SparkSession, dir: String): DataFrame =
+    embedDupPairsExact(s, dir).orderBy("id_a", "id_b")
+
+  /** The q33 pair table WITHOUT the gate's final sort — the CC gates
+    * (q35/q36) consume the pairs as an unordered edge set and re-sort
+    * their own output, so feeding them the sorted gate wastes a full
+    * range exchange + sort of the pair table. */
+  private def embedDupPairsExact(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -156,7 +163,6 @@ object Queries3 {
         round(Similarity.cosinePre(col("v_a"), col("v_b"),
           col("n_a"), col("n_b")), 6).as("cos"))
       .where(col("cos") >= 0.35)
-      .orderBy("id_a", "id_b")
   }
 
   // --------------------------------------------------------------- q34
@@ -180,7 +186,7 @@ object Queries3 {
     * assignment a dedup pipeline keys its "keep one per cluster" on.
     * Oracle: DuckDB recursive-CTE transitive closure over the same pairs. */
   def q35DedupClusters(s: SparkSession, dir: String): DataFrame =
-    Dedup.connectedComponents(q33EmbedDup(s, dir), "id_a", "id_b")
+    Dedup.connectedComponents(embedDupPairsExact(s, dir), "id_a", "id_b")
       .select(col("node").as("id"), col("cluster"))
       .orderBy("id")
 
@@ -192,7 +198,7 @@ object Queries3 {
   def q36DedupKeep(s: SparkSession, dir: String): DataFrame =
     Dedup.dropNearDuplicates(
       t(s, dir, "embeddings").select(col("vec_id"), col("label")),
-      "vec_id", q33EmbedDup(s, dir))
+      "vec_id", embedDupPairsExact(s, dir))
       .orderBy("vec_id")
 
   // --------------------------------------------------------------- q37

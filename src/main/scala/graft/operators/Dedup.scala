@@ -203,17 +203,16 @@ object Dedup {
     * WARN-logs any nonzero drop on query completion, so a recall collapse
     * (e.g. small bucket space + default cap at corpus scale) is loud
     * instead of a silently-empty pair list. */
-  private def capBuckets(banded: DataFrame, maxBucket: Int,
-      observed: Boolean = true): DataFrame = {
+  private def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
     CapMetrics.ensureListener(banded.sparkSession)
     val wB = Window.partitionBy(col("band"), col("bucket"))
     val sized = banded.withColumn("__n", count(lit(1)).over(wB))
-    // The observation may sit on only ONE consumer branch of a self-join:
-    // DeduplicateRelations clones a twice-consumed subtree, and two
-    // CollectMetrics nodes with one name cancel each other (observed
-    // metrics come back empty). Callers pass observed=false for the
-    // second leg.
-    val obs = if (observed)
+    // Callers MATERIALIZE the capped table before self-joining it, so the
+    // observation runs exactly once. (Pre-materialization history: an
+    // observe node on both legs of a self-join gets cloned by
+    // DeduplicateRelations, and two CollectMetrics nodes with one name
+    // cancel each other — observed metrics come back empty.)
+    val obs =
       sized.observe(s"graft_cap_${CapMetrics.nextId()}",
         sum(when(col("__n") > maxBucket, lit(1L)).otherwise(lit(0L)))
           .as("dropped_rows"),
@@ -222,7 +221,6 @@ object Dedup {
           lit(1.0) / col("__n")).otherwise(lit(0.0)))).cast("long")
           .as("dropped_buckets"),
         max(col("__n")).as("max_bucket"))
-    else sized
     obs.where(col("__n") <= maxBucket)
   }
 
@@ -249,11 +247,17 @@ object Dedup {
       portableBucketKey: Boolean = false): DataFrame = {
     val banded = bandedMinhash(df, idCol, tokensCol, numHashes, bands,
       portableBucketKey)
-    val a = capBuckets(banded, maxBucket).select(col("band"), col("bucket"),
+    // materialize the capped banded table ONCE: the self-join's two legs
+    // otherwise each recompute scan+minhash+cap-window (the observe node
+    // makes the subtrees differ, so even ReuseExchange cannot help), and
+    // the checkpointed RDD keeps the cap window's (band, bucket) hash
+    // partitioning, so the bucket equi-join needs no new exchange
+    val capped = Checkpointing.materialize(
+      capBuckets(banded, maxBucket).drop("__n"))
+    val a = capped.select(col("band"), col("bucket"),
       col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = capBuckets(banded, maxBucket, observed = false)
-      .select(col("band"), col("bucket"),
-        col("id").as("id_b"), col("sig").as("sig_b"))
+    val b = capped.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -382,12 +386,16 @@ object Dedup {
     def banded(df: DataFrame, side: Int) =
       bandedMinhash(df, idCol, tokensCol, numHashes, bands, portableBucketKey)
         .withColumn("side", lit(side))
-    // combined-side cap: the join cost is |L_b|·|R_b|
+    // combined-side cap: the join cost is |L_b|·|R_b|. Materialized ONCE
+    // (same rationale as minhashLshPairs): both join legs otherwise
+    // recompute the corpus scan + signatures + cap window.
     val combined = banded(left, 0).unionByName(banded(right, 1))
-    val a = capBuckets(combined, maxBucket)
+    val capped = Checkpointing.materialize(
+      capBuckets(combined, maxBucket).drop("__n"))
+    val a = capped
       .where(col("side") === 0).select(col("band"), col("bucket"),
         col("id").as("id_l"), col("sig").as("sig_l"))
-    val b = capBuckets(combined, maxBucket, observed = false)
+    val b = capped
       .where(col("side") === 1).select(col("band"), col("bucket"),
         col("id").as("id_r"), col("sig").as("sig_r"))
     a.join(b, Seq("band", "bucket"))
@@ -442,6 +450,49 @@ object Dedup {
     corpus.join(pairs.select(col(lCol).as(idCol)).distinct(),
       Seq(idCol), "left_anti")
 
+  /** Pair tables at or below this many rows (with integral, non-null
+    * node ids) are clustered with ONE driver-side union-find pass instead
+    * of the iterative distributed loop: the loop pays ~10 fixed
+    * synchronization barriers (checkpoint + convergence probe per round)
+    * regardless of graph size, which dwarfs the work itself on the small
+    * pair graphs real dedup thresholds produce (guide §1.2: fix the
+    * distributed algorithm first — here the ideal plan for a sub-million-
+    * edge graph is no distribution at all). The limit bounds the driver
+    * collect explicitly (2M edges ≈ tens of MB); above it — the 100 TB
+    * shape — the unchanged distributed rounds run. Set 0 to disable. */
+  val LocalEdgeLimitKey = "spark.graft.cc.localEdgeLimit"
+  private val localEdgeLimitDefault = 1000000L
+
+  /** Driver union-find over collected (a, b) long pairs: returns
+    * (node -> min reachable id) for every paired node, exactly the
+    * distributed loop's contract. Path-compressed; O(E α(E)). */
+  private def unionFindMinLabel(
+      rows: Array[org.apache.spark.sql.Row]): scala.collection.mutable.LongMap[Long] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    rows.foreach { row =>
+      val a = row.getLong(0); val b = row.getLong(1)
+      if (!parent.contains(a)) parent(a) = a
+      if (!parent.contains(b)) parent(b) = b
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(ra) = rb
+    }
+    val minOf = scala.collection.mutable.LongMap.empty[Long]
+    parent.keysIterator.foreach { n =>
+      val r = find(n)
+      if (n < minOf.getOrElse(r, Long.MaxValue)) minOf(r) = n
+    }
+    val labels = scala.collection.mutable.LongMap.empty[Long]
+    parent.keysIterator.foreach { n => labels(n) = minOf(find(n)) }
+    labels
+  }
+
   /** Connected components over a near-dup pair table -> (node, cluster)
     * with cluster = the minimum reachable id; training pipelines dedupe by
     * keeping one representative per CLUSTER, not per pair. Iterative
@@ -450,8 +501,65 @@ object Dedup {
     * 2-3 in practice); [[connectedComponentsStar]] is the drop-in upgrade
     * for high-diameter (chain-shaped) pair graphs — same signature, same
     * (node, cluster=min reachable id) output. Singletons (no pair) are
-    * omitted, matching the pair table's domain. */
+    * omitted, matching the pair table's domain.
+    *
+    * Small pair graphs (measured count <= [[LocalEdgeLimitKey]], integral
+    * ids) short-circuit to a driver union-find — identical labels, no
+    * per-round barriers; see the key's doc for the scale rationale. */
   def connectedComponents(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val sparkS = pairs.sparkSession
+    val dtA = pairs.schema(aCol).dataType
+    val dtB = pairs.schema(bCol).dataType
+    import org.apache.spark.sql.types._
+    val integral = (dtA == dtB) && (dtA match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    })
+    val localLimit = sparkS.conf.getOption(LocalEdgeLimitKey)
+      .map(_.toLong).getOrElse(localEdgeLimitDefault)
+    if (integral && localLimit > 0) {
+      val pc = pairs.select(col(aCol).cast("long").as("a"),
+        col(bCol).cast("long").as("b")).cache()
+      try {
+        val nPairs = pc.count()
+        val rows = if (nPairs <= localLimit) pc.collect() else null
+        if (rows != null && rows.forall(r => !r.isNullAt(0) && !r.isNullAt(1))) {
+          val labels = unionFindMinLabel(rows)
+          def back(v: Long): Any = dtA match {
+            case LongType => v
+            case IntegerType => v.toInt
+            case ShortType => v.toShort
+            case ByteType => v.toByte
+          }
+          val out = new java.util.ArrayList[org.apache.spark.sql.Row](labels.size)
+          labels.foreach { case (n, c) =>
+            out.add(org.apache.spark.sql.Row(back(n), back(c)))
+          }
+          val schema = StructType(Seq(StructField("node", dtA),
+            StructField("cluster", dtA)))
+          return sparkS.createDataFrame(out, schema)
+        }
+        // over the limit (or null node ids, which the distributed path's
+        // null-grouping semantics own): run the distributed rounds over
+        // the already-cached canonical pair table — the size probe must
+        // not cost the big path a recompute of an expensive pair join —
+        // and cast the labels back to the caller's id type
+        val labeled = connectedComponentsDistributed(pc, "a", "b", maxIter)
+        if (dtA == LongType) labeled
+        else labeled.select(col("node").cast(dtA).as("node"),
+          col("cluster").cast(dtA).as("cluster"))
+      } finally pc.unpersist()
+    } else
+      connectedComponentsDistributed(pairs, aCol, bCol, maxIter)
+  }
+
+  /** The iterative distributed min-label loop (the >limit / non-integral
+    * path of [[connectedComponents]]; kept callable for tests). */
+  private[graft] def connectedComponentsDistributed(
       pairs: DataFrame,
       aCol: String,
       bCol: String,
@@ -581,10 +689,16 @@ object Dedup {
         least(col("x"), col("y")).as("y")).distinct())
     p.unpersist()
     val spark = pairs.sparkSession
-    def sig(df: DataFrame): (Long, Long) = {
+    // TWO independent hash folds (hash(x,y) and hash(y,x)) plus the count:
+    // a changed edge multiset that collides one sum while keeping the
+    // count would otherwise end iteration early and silently emit wrong
+    // clusters (VERDICT r5 #2); both folds come from the SAME single agg,
+    // so the hardening costs no extra pass
+    def sig(df: DataFrame): (Long, Long, Long) = {
       val r = df.agg(count(lit(1)),
-        coalesce(sum(hash(col("x"), col("y")).cast("long")), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
+        coalesce(sum(hash(col("x"), col("y")).cast("long")), lit(0L)),
+        coalesce(sum(hash(col("y"), col("x")).cast("long")), lit(0L))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
     }
     var prev = sig(edges)
     if (prev._1 == 0)
@@ -715,11 +829,14 @@ object Dedup {
         Similarity.hyperplaneSigBand(col("v"), dim, nPlanes, bd, bands)): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
-    // cap degenerate buckets (see scale note above)
-    val a = capBuckets(banded, maxBucket)
+    // cap degenerate buckets (see scale note above); materialized ONCE so
+    // the self-join's legs don't each recompute signatures + cap window
+    val capped = Checkpointing.materialize(
+      capBuckets(banded, maxBucket).drop("__n"))
+    val a = capped
       .select(col("band"), col("bucket"), col("id").as("id_a"),
         col("v").as("v_a"), col("n").as("n_a"))
-    val b = capBuckets(banded, maxBucket, observed = false)
+    val b = capped
       .select(col("band"), col("bucket"), col("id").as("id_b"),
         col("v").as("v_b"), col("n").as("n_b"))
     a.join(b, Seq("band", "bucket"))

@@ -65,4 +65,78 @@ class CCStarSpec extends AnyFunSuite {
     val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.connectedComponentsStar(pairs, "id_a", "id_b").count() == 0L)
   }
+
+  test("local union-find fast path equals the distributed min-label loop") {
+    for (seed <- Seq(3, 11, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 80
+      val ids = (0 until n).map(i => i * 17L + (i % 7))
+      val edges = (0 until 120).map { _ =>
+        (ids(rnd.nextInt(n)), ids(rnd.nextInt(n)))
+      }.distinct
+      val pairs = edges.toDF("id_a", "id_b")
+      // default conf: small integral graph takes the driver fast path
+      val local = labelsOf(Dedup.connectedComponents(pairs, "id_a", "id_b"))
+      val dist = labelsOf(
+        Dedup.connectedComponentsDistributed(pairs, "id_a", "id_b"))
+      assert(local == dist, s"seed $seed: fast path != distributed")
+    }
+  }
+
+  test("local fast path preserves integer id types") {
+    val pairs = Seq((5, 9), (9, 2), (30, 40)).toDF("id_a", "id_b") // IntegerType
+    val out = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    assert(out.schema("node").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(out.schema("cluster").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    val got = out.as[(Int, Int)].collect().toSet
+    assert(got == Set((2, 2), (5, 2), (9, 2), (30, 30), (40, 30)))
+  }
+
+  test("localEdgeLimit=0 disables the fast path (conf escape hatch)") {
+    spark.conf.set(Dedup.LocalEdgeLimitKey, "0")
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+      val got = labelsOf(Dedup.connectedComponents(pairs, "id_a", "id_b"))
+      assert(got == Set((1L, 1L), (2L, 1L), (3L, 1L)))
+    } finally spark.conf.unset(Dedup.LocalEdgeLimitKey)
+  }
+
+  test("star convergence signature: second fold catches first-fold collisions") {
+    // Craft two DIFFERENT 2-edge multisets whose (count, sum hash(x,y))
+    // agree — a birthday search over murmur3 pair hashes — and assert the
+    // second fold (sum hash(y,x)) separates them: the exact silent-
+    // convergence hazard VERDICT r5 #2 describes cannot slip past the
+    // two-fold signature.
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
+    def h(x: Long, y: Long): Long =
+      Murmur3Hash(Seq(Literal(x), Literal(y)), 42).eval(null)
+        .asInstanceOf[Int].toLong
+    val cands = (0L until 2000L).map(i => (i + 1000L, i)) // canonical (hi, lo)
+    val sums = scala.collection.mutable.HashMap.empty[Long, (Int, Int)]
+    var found: Option[((Long, Long), (Long, Long), (Long, Long), (Long, Long))] = None
+    var i = 0
+    while (found.isEmpty && i < cands.length) {
+      var j = i + 1
+      while (found.isEmpty && j < cands.length) {
+        val s = h(cands(i)._1, cands(i)._2) + h(cands(j)._1, cands(j)._2)
+        sums.get(s) match {
+          case Some((pi, pj)) if pi != i && pj != i && pi != j && pj != j =>
+            found = Some((cands(pi), cands(pj), cands(i), cands(j)))
+          case None => sums(s) = (i, j)
+          case _ => ()
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val (e1, e2, e3, e4) = found.getOrElse(
+      fail("no first-fold collision found in the search space"))
+    // first fold collides by construction...
+    assert(h(e1._1, e1._2) + h(e2._1, e2._2) == h(e3._1, e3._2) + h(e4._1, e4._2))
+    // ...the reversed-argument fold separates the multisets
+    assert(h(e1._2, e1._1) + h(e2._2, e2._1) != h(e3._2, e3._1) + h(e4._2, e4._1),
+      s"two-fold signature failed to separate $e1,$e2 from $e3,$e4")
+  }
 }

@@ -339,22 +339,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"cap dropped rows not observed (delta ${CapMetrics.totalDroppedRows - before})")
   }
 
-  test("TOTAL cap wipeout (empty result pruned by AQE) is still detected") {
+  test("TOTAL cap wipeout (empty pair result) is still loud") {
     import graft.operators.{CapMetrics, Dedup}
-    val before = CapMetrics.totalWipeouts
-    // EVERY bucket exceeds the cap -> AQE prunes the empty join and the
-    // observation never reaches the final plan; the listener detects the
-    // declared-but-missing observation instead
+    val before = CapMetrics.totalDroppedRows
+    // EVERY bucket exceeds the cap -> the pair list is empty BY CAP. The
+    // capped banded table is now materialized before the self-join, so
+    // the observation runs on the materialization query and DELIVERS the
+    // full drop count (pre-materialization, AQE pruned the empty join
+    // stage and the vanished observation was flagged via totalWipeouts —
+    // the delivered count is the stronger report, and the wipeout
+    // detector stays armed for any future un-materialized capped stage).
     val vecs = spark.range(50).select(col("id"),
       array(lit(1.0f), lit(0.0f), lit(0.0f), lit(0.0f)).as("emb"))
     val pairs = Dedup.embeddingDupPairs(vecs, "id", "emb", dim = 4,
       nPlanes = 4, threshold = 0.9, maxBucket = 10)
     assert(pairs.count() == 0L)
     val deadline = System.currentTimeMillis() + 15000
-    while (CapMetrics.totalWipeouts == before &&
+    while (CapMetrics.totalDroppedRows - before < 50L &&
         System.currentTimeMillis() < deadline) Thread.sleep(100)
-    assert(CapMetrics.totalWipeouts > before,
-      "total cap wipeout not reported")
+    assert(CapMetrics.totalDroppedRows - before >= 50L,
+      s"total cap wipeout not reported as dropped rows " +
+        s"(delta ${CapMetrics.totalDroppedRows - before})")
   }
 
   test("stratified sampling applies per-stratum rates map-side") {

@@ -84,6 +84,9 @@ class ScaleShapeSpec extends AnyFunSuite {
   test("reliable checkpoint path (spark.graft.checkpointDir) yields same clusters") {
     val dir = java.nio.file.Files.createTempDirectory("graftchk").toString
     spark.conf.set(Checkpointing.ConfKey, dir)
+    // the small-graph union-find fast path never checkpoints; this test
+    // pins the DISTRIBUTED tier's reliable-checkpoint behavior, so force it
+    spark.conf.set(Dedup.LocalEdgeLimitKey, "0")
     try {
       val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
       val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
@@ -92,7 +95,10 @@ class ScaleShapeSpec extends AnyFunSuite {
       // the reliable checkpoint actually wrote RDD blocks to the dir
       val wrote = new java.io.File(dir).listFiles()
       assert(wrote != null && wrote.nonEmpty, s"nothing checkpointed under $dir")
-    } finally spark.conf.unset(Checkpointing.ConfKey)
+    } finally {
+      spark.conf.unset(Checkpointing.ConfKey)
+      spark.conf.unset(Dedup.LocalEdgeLimitKey)
+    }
   }
 
   test("summarize with inputEnds: single-feature docs span to the input end") {
