@@ -75,6 +75,52 @@ object BenchExtra {
           try w.println(plan) finally w.close()
           println(s"wrote $outDir/$name.txt")
         }
+      case "headline" =>
+        // phase decomposition of the headline as-of pipeline at a given
+        // core count: scan ceiling, features-only, queries-only, full
+        // native join — all noop-sink (guide §1.4) over the SAME
+        // materialized parquet the bench uses
+        import org.apache.spark.sql.functions._
+        val nDocs = args.lift(1).map(_.toLong).getOrElse(400000L)
+        val reps = args.lift(2).map(_.toInt).getOrElse(2)
+        val seqPath = s"/tmp/graft_bench_seqs_n${nDocs}_seed42"
+        if (!new java.io.File(s"$seqPath/_SUCCESS").exists()) {
+          graft.sources.SequenceGen.generate(spark, nDocs)
+            .repartition(64).write.mode("overwrite").parquet(seqPath)
+        }
+        val seqs = spark.read.parquet(seqPath)
+        // warm page cache on the bulk column
+        seqs.agg(sum(size(col("tokens")))).collect()
+        def phase(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+          val ts = (1 to reps).map { _ =>
+            time(df.write.format("noop").mode("overwrite").save())
+          }
+          println(f"""{"phase":"$name%s","cpus":$cpus,"min_sec":${ts.min}%.3f,"samples":${ts.map(t => f"$t%.3f").mkString("[", ",", "]")}%s}""")
+        }
+        phase("scan_tokens")(seqs.select(col("doc_id"), col("tokens")))
+        phase("features")(seqs
+          .withColumn("df", graft.functions.FrameAgg.energy(col("tokens"), 8, 16))
+          .select(col("doc_id"), posexplode(col("df")))
+          .select(col("doc_id"), (col("pos") * 8000000L).as("ts"),
+            col("col").as("fv")))
+        phase("queries")(seqs
+          .select(col("doc_id"), col("n_tok"),
+            explode(sequence(lit(0), lit(3))).as("k"))
+          .select(col("doc_id"),
+            pmod(abs(xxhash64(col("doc_id"), col("k"))),
+              greatest(col("n_tok").cast("long"), lit(1L)) * 1000000L).as("ts")))
+        phase("full_native")(
+          graft.engine.Pipelines.asofFeaturePipelineNativeOver(seqs))
+      case "explainHeadline" =>
+        val outPath = args.lift(1).getOrElse("plans/r06/headline_native.txt")
+        val seqPath = "/tmp/graft_bench_seqs_n400000_seed42"
+        val seqs = spark.read.parquet(seqPath)
+        val df = graft.engine.Pipelines.asofFeaturePipelineNativeOver(seqs)
+        new java.io.File(outPath).getParentFile.mkdirs()
+        val w = new java.io.PrintWriter(outPath)
+        try w.println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)) finally w.close()
+        println(s"wrote $outPath")
       case other =>
         System.err.println(s"unknown mode $other")
         sys.exit(2)

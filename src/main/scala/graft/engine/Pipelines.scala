@@ -50,21 +50,60 @@ object Pipelines {
 
   /** Same pipeline using the NATIVE Catalyst as-of operator
     * (graft.plans.AsOfJoinExec): single-pass sort-merge-carry, no window
-    * buffering; plan = 1 exchange + 1 sort per side. */
+    * buffering; plan = 1 exchange + 1 sort per side.
+    *
+    * Shuffle diet (guide §2.3/§8): both sides are exchanged as the
+    * COMPACT per-doc rows — (doc_id, frame-array) and (doc_id, n_tok) —
+    * and the frame/query explode happens AFTER the exchange, so the
+    * shuffle moves one row per document (~5x fewer bytes than the
+    * exploded timeline; at 10^12 rows the difference is the network
+    * bill). The explode preserves the hash partitioning on doc_id, so
+    * the plan keeps exactly one exchange + one sort per side — the
+    * partition count is pinned on both sides so the sides stay
+    * co-partitioned for the exec's zip. */
   def asofFeaturePipelineNativeOver(seqs: DataFrame,
       step: Int = 8, block: Int = 16, queriesPerDoc: Int = 4): DataFrame = {
-    val features = seqs
+    val parts = seqs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // Sort diet on top of the shuffle diet: sorting the COMPACT doc rows
+    // by key (one row per doc) and exploding afterwards yields a stream
+    // that is already (doc_id, ts)-sorted — frame positions explode in
+    // ascending ts order, and the query timestamps are array_sort'ed
+    // in-row before the explode. AsOfNative.assumeSorted declares that
+    // ordering to the planner (skipping two full sorts of the exploded
+    // timelines); the merge VERIFIES the claim row-by-row, so a future
+    // edit breaking the invariant fails loudly (see AssumeOrderedNode).
+    // The inner assumeSorted (on the compact rows) doubles as a
+    // predicate-pushdown BARRIER: InferFiltersFromGenerate adds a
+    // size(child)>0 filter before every explode, and pushdown would
+    // substitute the frame-energy expression into it — evaluating the
+    // frame loop up to 3x per row (the guide §4.4 duplication, in JVM
+    // form). Above the barrier the inferred filter tests the already-
+    // computed column instead.
+    val compactF = graft.plans.AsOfNative.assumeSorted(seqs
       .withColumn("df",
         graft.functions.FrameAgg.energy(col("tokens"), step, block))
+      .select(col("doc_id"), col("df"))
+      .repartition(parts, col("doc_id"))
+      .sortWithinPartitions("doc_id"),
+      "doc_id")
+    val features = graft.plans.AsOfNative.assumeSorted(compactF
       .select(col("doc_id"), posexplode(col("df")))
       .select(col("doc_id"), (col("pos") * step * 1000000L).as("ts"),
-        col("col").as("fv"))
-    val queries = seqs
-      .select(col("doc_id"), col("n_tok"),
-        explode(sequence(lit(0), lit(queriesPerDoc - 1))).as("k"))
+        col("col").as("fv")),
+      "doc_id", "ts")
+    val compactQ = graft.plans.AsOfNative.assumeSorted(seqs
+      .select(col("doc_id"), col("n_tok"))
+      .repartition(parts, col("doc_id"))
+      .sortWithinPartitions("doc_id")
       .select(col("doc_id"),
-        pmod(abs(xxhash64(col("doc_id"), col("k"))),
-          greatest(col("n_tok").cast("long"), lit(1L)) * 1000000L).as("ts"))
+        array_sort(transform(sequence(lit(0), lit(queriesPerDoc - 1)),
+          k => pmod(abs(xxhash64(col("doc_id"), k)),
+            greatest(col("n_tok").cast("long"), lit(1L)) * 1000000L)))
+          .as("tsArr")),
+      "doc_id")
+    val queries = graft.plans.AsOfNative.assumeSorted(compactQ
+      .select(col("doc_id"), explode(col("tsArr")).as("ts")),
+      "doc_id", "ts")
     graft.plans.AsOfNative.join(queries, features, "doc_id", "ts", Seq("fv"))
   }
 

@@ -147,12 +147,44 @@ case class AsOfJoinExec(
         }
       }
 
+      // Input-ordering verification: the merge is only correct over
+      // (entity, ts)-sorted children. The planner usually guarantees that
+      // via requiredChildOrdering, but a child may satisfy it through an
+      // ordering-CLAIM node ([[AssumeOrderedExec]]) whose promise the
+      // planner cannot check — so the merge verifies as it streams (one
+      // compare per consumed row, no copies beyond the existing carry)
+      // and throws instead of silently emitting wrong matches.
+      var prevLe: Any = null
+      var prevLt: Any = null
+      var haveLPrev = false
+      def orderViolation(side: String, e: Any, t: Any): Nothing =
+        throw new IllegalStateException(
+          s"as-of merge: $side side not sorted by (entity, ts) — saw " +
+            s"($e, $t) after a later row; an ordering claim " +
+            "(AsOfNative.assumeSorted) on unsorted data?")
       lIter.map { lRow =>
         val le = lRow.get(lEntityIdx, entityType)
         val lt = lRow.get(lTsIdx, tsType)
+        if (haveLPrev) {
+          val ec = entityOrd(le, prevLe)
+          if (ec < 0 || (ec == 0 && tsOrd(lt, prevLt) < 0))
+            orderViolation("left", le, lt)
+        }
+        prevLe = InternalRow.copyValue(le)
+        prevLt = InternalRow.copyValue(lt)
+        haveLPrev = true
         while (!rHeadDone && rightApplies(le, lt)) {
           // absorb this right row into the carry (copies — the sorter
-          // reuses row objects)
+          // reuses row objects); first verify the right stream really is
+          // non-decreasing vs the previous absorbed row
+          if (hasCarry) {
+            val re = rHead.get(rEntityIdx, entityType)
+            val ec = entityOrd(re, carryEntity)
+            if (ec < 0 || (ec == 0 &&
+                tsOrd(rHead.get(rTsIdx, tsType),
+                  carry.get(carrySchema.length - 1, tsType)) < 0))
+              orderViolation("right", re, rHead.get(rTsIdx, tsType))
+          }
           carryEntity = InternalRow.copyValue(rHead.get(rEntityIdx, entityType))
           rValIdx.zipWithIndex.foreach { case (ri, i) =>
             if (rHead.isNullAt(ri)) carry.setNullAt(i)
@@ -176,6 +208,33 @@ case class AsOfJoinExec(
     copy(left = newLeft, right = newRight)
 }
 
+/** Ordering CLAIM: pass-through node declaring that its child's rows are
+  * already sorted by `orderCols` within each partition — problem
+  * knowledge the optimizer cannot derive (guide §8), e.g. "a per-doc
+  * frame array explodes in frame order, so sorting the COMPACT doc rows
+  * by key makes the exploded stream (key, ts)-sorted" — which lets
+  * EnsureRequirements skip a full sort of the exploded timeline.
+  *
+  * A false claim CANNOT silently corrupt an as-of join: AsOfJoinExec
+  * verifies both input streams' ordering as it merges and throws. */
+case class AssumeOrderedNode(child: LogicalPlan, orderCols: Seq[Attribute])
+    extends org.apache.spark.sql.catalyst.plans.logical.UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(c: LogicalPlan): AssumeOrderedNode =
+    copy(child = c)
+}
+
+case class AssumeOrderedExec(child: SparkPlan, orderCols: Seq[Attribute])
+    extends org.apache.spark.sql.execution.UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    orderCols.map(a => SortOrder(a, Ascending))
+  override protected def doExecute(): RDD[InternalRow] = child.execute()
+  override protected def withNewChildInternal(c: SparkPlan): AssumeOrderedExec =
+    copy(child = c)
+}
+
 /** Planner strategy lowering the logical node; injected per-session via
   * spark.experimental.extraStrategies (no session-construction-time
   * extension needed). */
@@ -185,6 +244,8 @@ object AsOfJoinStrategy extends SparkStrategy {
       AsOfJoinExec(n.leftEntity, n.leftTs, n.rightEntity, n.rightTs,
         n.rightValues, n.strict, n.matchedTs,
         planLater(n.left), planLater(n.right)) :: Nil
+    case n: AssumeOrderedNode =>
+      AssumeOrderedExec(planLater(n.child), n.orderCols) :: Nil
     case _ => Nil
   }
 }
@@ -196,6 +257,20 @@ object AsOfNative {
     val cur = spark.experimental.extraStrategies
     if (!cur.exists(_.isInstanceOf[AsOfJoinStrategy.type]))
       spark.experimental.extraStrategies = cur :+ AsOfJoinStrategy
+  }
+
+  /** Declare `df` already sorted by `cols` within each partition (see
+    * [[AssumeOrderedNode]]); feed the result to [[join]] to skip the
+    * planner's sort on that side. The claim is VERIFIED row-by-row by
+    * the merge — unsorted data fails loudly, never silently. */
+  def assumeSorted(df: DataFrame, cols: String*): DataFrame = {
+    val spark = df.sparkSession
+    install(spark)
+    val lp = df.queryExecution.analyzed
+    val attrs = cols.map(c => lp.output.find(_.name == c).getOrElse(
+      throw new IllegalArgumentException(
+        s"no column $c in ${lp.output.map(_.name)}")))
+    Bridge.ofRows(spark, AssumeOrderedNode(lp, attrs))
   }
 
   /** Native as-of join; same contract as graft.operators.AsOf.join. */

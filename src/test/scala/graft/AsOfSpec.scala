@@ -127,6 +127,38 @@ class AsOfSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2)
   }
 
+  test("assumeSorted on truly-sorted input equals the planner-sorted join") {
+    val fdf = Seq(("a", 1L, 1.0), ("a", 5L, 2.0), ("b", 3L, 3.0))
+      .toDF("doc_id", "ts", "fv")
+      .repartition(1, org.apache.spark.sql.functions.col("doc_id"))
+      .sortWithinPartitions("doc_id", "ts")
+    val qdf = Seq(("a", 2L), ("a", 9L), ("b", 2L), ("b", 4L)).toDF("doc_id", "ts")
+    val plain = graft.plans.AsOfNative.join(qdf, fdf, "doc_id", "ts", Seq("fv"))
+      .orderBy("doc_id", "ts").collect().map(_.toSeq).toSeq
+    val claimed = graft.plans.AsOfNative.join(qdf,
+      graft.plans.AsOfNative.assumeSorted(fdf, "doc_id", "ts"),
+      "doc_id", "ts", Seq("fv"))
+      .orderBy("doc_id", "ts").collect().map(_.toSeq).toSeq
+    assert(claimed == plain)
+  }
+
+  test("a FALSE assumeSorted claim fails loudly, never silently") {
+    // deliberately unsorted feature stream in one partition; both sides
+    // single-partition so EnsureRequirements inserts no exchange (which
+    // would re-sort and mask the false claim)
+    val fdf = Seq(("a", 9L, 1.0), ("a", 1L, 2.0), ("a", 5L, 3.0))
+      .toDF("doc_id", "ts", "fv").coalesce(1)
+    val qdf = Seq(("a", 10L), ("a", 11L)).toDF("doc_id", "ts").coalesce(1)
+    val joined = graft.plans.AsOfNative.join(qdf,
+      graft.plans.AsOfNative.assumeSorted(fdf, "doc_id", "ts"),
+      "doc_id", "ts", Seq("fv"))
+    val e = intercept[org.apache.spark.SparkException] { joined.collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("not sorted by (entity, ts)")),
+      s"expected ordering-violation error, got: ${msgs(e)}")
+  }
+
   test("native as-of handles NULL entity keys like the window rewrite (no NPE)") {
     val fs = Seq((Some("d"), 5L, 1.5), (None, 3L, 9.0), (None, 7L, 8.0))
       .toDF("doc_id", "ts", "fv")

@@ -17,6 +17,18 @@ class PipelinesSpec extends AnyFunSuite {
     general.zip(colocated).foreach { case (g, c) => assert(g == c, s"$g != $c") }
   }
 
+  test("native as-of pipeline == window-rewrite pipeline row-for-row") {
+    // pins the post-exchange-explode restructure: the compact-row shuffle
+    // must not change a single output row vs the window rewrite
+    val seqs = SequenceGen.generate(spark, 300, seed = 11L).toDF()
+    val native = Pipelines.asofFeaturePipelineNativeOver(seqs)
+      .orderBy("doc_id", "ts").collect().map(_.toSeq).toSeq
+    val window = Pipelines.asofFeaturePipelineOver(seqs)
+      .orderBy("doc_id", "ts").collect().map(_.toSeq).toSeq
+    assert(native.size == window.size)
+    native.zip(window).foreach { case (n, w) => assert(n == w, s"$n != $w") }
+  }
+
   test("pipeline is deterministic across partitioning") {
     val a = Pipelines.runAndChecksum(
       Pipelines.asofFeaturePipelineOver(
