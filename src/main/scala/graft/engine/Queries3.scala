@@ -72,11 +72,15 @@ object Queries3 {
     * used a global row_number window, which moves the whole stream to a
     * single task (the bench log's "No Partition Defined" warning). */
   def q29AlignByPos(s: SparkSession, dir: String): DataFrame = {
+    // ONE fused range-partitioned prefix pass numbers both streams
+    // (globalRowNumberByGroup) instead of one full
+    // sample+materialize+offset chain per event type — identical
+    // positions (rank of event_id within type), half the fixed cost
     val e = ev(s, dir)
-    def seq(tpe: String) = Windows.globalRowNumber(
-      e.where(col("event_type") === tpe)
-        .select(col("event_id"), col("value")),
-      "event_id")
+      .where(col("event_type").isin("purchase", "error"))
+      .select(col("event_id"), col("event_type"), col("value"))
+    val pos = Windows.globalRowNumberByGroup(e, "event_type", "event_id")
+    def seq(tpe: String) = pos.where(col("event_type") === tpe)
       .select("pos", "value")
     Multiplex.alignByPosition(seq("purchase"), seq("error"),
       "purchase_v", "error_v")

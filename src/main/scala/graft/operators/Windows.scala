@@ -105,6 +105,61 @@ object Windows {
       .withColumn(outCol, col("pack_start") + 1L)
       .drop("pack_start", "pack_bin", "__one")
 
+  /** Contiguous 1-based PER-GROUP row number by `orderCol` in ONE
+    * range-partitioned prefix pass — the fused form of calling
+    * [[globalRowNumber]] once per group: N groups otherwise pay N full
+    * sample+materialize+offset chains over the same stream, and a plain
+    * `row_number().over(partitionBy(group))` funnels each group into a
+    * single task (the hot-key trap). One range exchange on the order
+    * key, per-partition running counts per group, one driver row per
+    * (partition, group), broadcast offsets back. */
+  def globalRowNumberByGroup(df: DataFrame, groupCol: String,
+      orderCol: String, outCol: String = "pos"): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType, IntegerType}
+    val spark = df.sparkSession
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.repartitionByRange(n, col(orderCol))
+      .sortWithinPartitions(orderCol)
+      .withColumn("__pid", spark_partition_id())
+    val outSchema = ranged.schema.add("__gcount", LongType, nullable = false)
+    val gIdx = ranged.schema.fieldIndex(groupCol)
+    // materialize pins the range-sampler's partition boundaries for both
+    // the offsets job and the output job (same rule as Packing.packGreedy)
+    val local = Checkpointing.materialize(ranged.mapPartitions { it =>
+      val counts = scala.collection.mutable.HashMap.empty[Any, Long]
+      it.map { r =>
+        val g = r.get(gIdx)
+        val c = counts.getOrElse(g, 0L) + 1L
+        counts(g) = c
+        Row.fromSeq(r.toSeq :+ c)
+      }
+    }(Encoders.row(outSchema)))
+    val totals = local.groupBy(col("__pid"), col(groupCol))
+      .agg(max(col("__gcount")).as("__t"))
+      .collect() // one row per (partition, group) — bounded by design
+    if (totals.isEmpty)
+      return local.withColumn(outCol, lit(0L))
+        .drop("__pid", "__gcount")
+    // driver prefix sum per group over ascending partition id
+    val byGroup = totals.groupBy(_.get(1))
+    val offsetRows = byGroup.valuesIterator.flatMap { rows =>
+      val sorted = rows.sortBy(_.getInt(0))
+      val prefix = sorted.map(_.getLong(2)).scanLeft(0L)(_ + _).init
+      sorted.zip(prefix).map { case (r, off) => Row(r.getInt(0), r.get(1), off) }
+    }.toSeq
+    val offSchema = StructType(Seq(StructField("__opid", IntegerType),
+      StructField("__g", df.schema(groupCol).dataType),
+      StructField("__offset", LongType)))
+    val jl = new java.util.ArrayList[Row](offsetRows.size)
+    offsetRows.foreach(jl.add)
+    val offsetDf = spark.createDataFrame(jl, offSchema)
+    local.join(broadcast(offsetDf),
+      col("__pid") === col("__opid") && col(groupCol) <=> col("__g"))
+      .withColumn(outCol, col("__offset") + col("__gcount"))
+      .drop("__pid", "__gcount", "__opid", "__g", "__offset")
+  }
+
   /** Per-session aggregation convenience: sessionize then aggregate. */
   def sessionStats(df: DataFrame, entityCol: String, tsCol: String,
       gap: Long, valueCol: String): DataFrame = {

@@ -70,6 +70,22 @@ class ScaleShapeSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("globalRowNumberByGroup == per-group row_number, one fused pass") {
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 2000).map(i =>
+      (i.toLong, s"g${rnd.nextInt(4)}", rnd.nextDouble()))
+    val df = rows.toDF("id", "grp", "v")
+    val got = graft.operators.Windows
+      .globalRowNumberByGroup(df, "grp", "id")
+      .select($"id", $"pos").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = df.withColumn("pos",
+        row_number().over(Window.partitionBy("grp").orderBy("id")).cast("long"))
+      .select($"id", $"pos").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("connectedComponents supports string node ids (lexicographic min label)") {
     // chain a—a1—a12 plus isolated pair z1—z2; prefix-extension ids on
     // purpose (the round-1 packed-key failure shape)
