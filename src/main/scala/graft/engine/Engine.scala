@@ -63,7 +63,15 @@ object Engine {
       }
       val specTable = spark.createDataFrame(consumers)
         .toDF("transform_id", "output", "start_ns", "end_ns")
-      rows.join(broadcast(specTable), Seq("output"))
+      // LITERAL pre-filter on the consumed outputs: extractors emit ALL
+      // their outputs in one union, and the broadcast spec join drops the
+      // unconsumed ones only at RUNTIME — the literal isin folds to false
+      // inside dead union branches, so Catalyst prunes them at plan time
+      // (a single-output transform no longer pays the other outputs'
+      // extraction work). The join below makes it semantically a no-op.
+      val consumed = consumers.map(_._2).distinct
+      rows.where(col("output").isin(consumed: _*))
+        .join(broadcast(specTable), Seq("output"))
         .where(col("ts") >= col("start_ns") && col("ts") < col("end_ns"))
         .select(col("doc_id"), col("transform_id"), col("output"),
           col("ts"), col("duration"), col("values"), col("label"))

@@ -102,10 +102,13 @@ object EnergyExtractor extends FeatureExtractor {
     val thr = spec.parameters.getOrElse("threshold", 3.0)
     // one array-local pass computes the energy curve (native FrameAgg
     // expression — the HOF chain is interpreted and ~100x slower);
-    // onsets derive from the same array
-    val withDf = seqs.withColumn("df",
+    // onsets derive from the same array. PlanBarrier: without it the
+    // explode's inferred size()>0 filter re-evaluates the frame loop
+    // (guide §4.4 duplication — see the node's doc).
+    val withDf = graft.plans.PlanBarrier(seqs.select(col("doc_id"),
       graft.functions.FrameAgg.energy(col("tokens"), step, block,
-        Some(Framing.taperCoefficients(spec.windowType, block).toSeq)))
+        Some(Framing.taperCoefficients(spec.windowType, block).toSeq))
+        .as("df")))
     val curve = withDf
       .select(col("doc_id"), posexplode(col("df")))
       .select(col("doc_id"), lit("detectionfunction").as("output"),
@@ -171,9 +174,10 @@ object SpectrumExtractor extends FeatureExtractor {
   def extract(seqs: DataFrame, spec: TransformSpec): DataFrame = {
     val (step, block, rate) = resolve(spec)
     val (cre, cim) = dftCoefficients(spec.windowType, block)
-    seqs
-      .withColumn("spec",
-        graft.functions.FrameSpectrum.spectrum(col("tokens"), step, block, cre, cim))
+    graft.plans.PlanBarrier(seqs
+      .select(col("doc_id"),
+        graft.functions.FrameSpectrum.spectrum(col("tokens"), step, block,
+          cre, cim).as("spec")))
       .select(col("doc_id"), posexplode(col("spec")))
       .select(col("doc_id"), lit("magnitude").as("output"),
         posToNs(col("pos") * step, rate).as("ts"), // ShiftData: block start
@@ -195,8 +199,10 @@ object RegionsExtractor extends FeatureExtractor {
   def extract(seqs: DataFrame, spec: TransformSpec): DataFrame = {
     val (_, _, rate) = resolve(spec)
     val minRun = spec.parameters.getOrElse("min_run", 2.0).toInt
-    // starts[i] = positions where a new run begins (0 or token != prev)
-    val withRuns = seqs
+    // starts[i] = positions where a new run begins (0 or token != prev).
+    // PlanBarrier before the explode: the inferred size()>0 filter would
+    // otherwise re-evaluate the whole interpreted HOF chain per row.
+    val withRuns = graft.plans.PlanBarrier(seqs
       .where(col("n_tok") > 0) // sequence(0, -1) would be descending
       .withColumn("starts",
         // when() rather than ||: ANSI element_at(tokens, 0) would throw and
@@ -204,11 +210,11 @@ object RegionsExtractor extends FeatureExtractor {
         filter(sequence(lit(0), col("n_tok") - 1), i =>
           when(i === 0, lit(true)).otherwise(
             element_at(col("tokens"), i + 1) =!= element_at(col("tokens"), i))))
-      .withColumn("runs",
+      .select(col("doc_id"), col("tokens"),
         zip_with(col("starts"),
           concat(slice(col("starts"), lit(2), size(col("starts"))),
             array(col("n_tok"))),
-          (s, e) => struct(s.as("s"), (e - s).as("len"))))
+          (s, e) => struct(s.as("s"), (e - s).as("len"))).as("runs")))
       .select(col("doc_id"), explode(col("runs")).as("r"),
         col("tokens"))
       .where(col("r.len") >= minRun)
@@ -234,11 +240,11 @@ object ClicksExtractor extends FeatureExtractor {
     val (_, _, rate) = resolve(spec)
     val marker = spec.parameters.getOrElse("marker",
       SequenceGen.ClickToken.toDouble).toInt
-    seqs
+    graft.plans.PlanBarrier(seqs
       .where(col("n_tok") > 0)
-      .withColumn("hits",
+      .select(col("doc_id"),
         filter(sequence(lit(0), col("n_tok") - 1), i =>
-          element_at(col("tokens"), i + 1) === marker))
+          element_at(col("tokens"), i + 1) === marker).as("hits")))
       .select(col("doc_id"), explode(col("hits")).as("p"))
       .select(col("doc_id"), lit("clicks").as("output"),
         posToNs(col("p"), rate).as("ts"),
@@ -266,13 +272,14 @@ object ChangepointsExtractor extends FeatureExtractor {
   def extract(seqs: DataFrame, spec: TransformSpec): DataFrame = {
     val (_, _, rate) = resolve(spec)
     val outRate = spec.parameters.getOrElse("out_rate", 2.5)
-    seqs
+    graft.plans.PlanBarrier(seqs
       .where(col("n_tok") > 0)
       .select(col("doc_id"), col("tokens"),
-        explode(filter(sequence(lit(0), col("n_tok") - 1), i =>
+        filter(sequence(lit(0), col("n_tok") - 1), i =>
           (i === 0) ||
-            element_at(col("tokens"), i + 1) =!= element_at(col("tokens"), i)))
-          .as("i"))
+            element_at(col("tokens"), i + 1) =!= element_at(col("tokens"), i))
+          .as("hits")))
+      .select(col("doc_id"), col("tokens"), explode(col("hits")).as("i"))
       .select(col("doc_id"), lit("changecurve").as("output"),
         graft.frames.Framing.snapToGrid(posToNs(col("i"), rate), outRate).as("ts"),
         lit(null).cast("long").as("duration"),

@@ -286,13 +286,16 @@ object Dedup {
     // only a native merge-count (graft.functions.IntersectCount) — no
     // per-pair array_intersect/array_union allocation;
     // |A∪B| = |A|+|B|-|A∩B|
-    val shingles = df
+    // materialized ONCE: the blocked self-join's legs would otherwise
+    // each recompute the shingle pass over the full corpus (same rule as
+    // the minhash/embedding pair generators)
+    val shingles = Checkpointing.materialize(df
       .where(size(col(tokensCol)) >= n)
       .select(
         col(idCol).as("id") +:
           graft.functions.NgramShingles(col(tokensCol), n).as("sh") +:
           blockingCols.zipWithIndex.map { case (c, i) => c.as(s"bk$i") }: _*)
-      .withColumn("nsh", size(col("sh")))
+      .withColumn("nsh", size(col("sh"))))
     val keys = blockingCols.indices.map(i => s"bk$i")
     val a = shingles.select(col("id").as("id_a") +: col("sh").as("sh_a") +:
       col("nsh").as("nsh_a") +: keys.map(col): _*)

@@ -250,6 +250,22 @@ object AsOfJoinStrategy extends SparkStrategy {
   }
 }
 
+/** Optimizer BARRIER: [[AssumeOrderedNode]] with no ordering claim — a
+  * pass-through the optimizer cannot push predicates or pruning through.
+  * Use it between an expensive aliased array computation and an explode:
+  * InferFiltersFromGenerate adds a size(child)>0 filter above every
+  * explode, and predicate pushdown substitutes the full expression into
+  * it (evaluating e.g. a frame loop 3x per row); above the barrier the
+  * filter tests the already-computed column. Project exactly the needed
+  * columns BELOW the barrier — column pruning stops at it too. */
+object PlanBarrier {
+  def apply(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    AsOfNative.install(spark)
+    Bridge.ofRows(spark, AssumeOrderedNode(df.queryExecution.analyzed, Nil))
+  }
+}
+
 object AsOfNative {
 
   /** Register the strategy on the session (idempotent). */
