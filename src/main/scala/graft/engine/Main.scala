@@ -239,6 +239,15 @@ object Main {
     c.skeleton.foreach { p => println(TransformSpecs.skeleton(p)); return }
     require(c.input.nonEmpty, "--input required")
     require(c.output.nonEmpty, "--output required")
+    // the pipeline modes are mutually exclusive — a silently-ignored
+    // second flag would run the wrong job (ADVICE r5)
+    val modeFlags = Seq(
+      "--contamination-check" -> c.contaminationCheck.nonEmpty,
+      "--redact" -> c.redact,
+      "--segment-dedup" -> c.segmentDedup,
+      "--epoch-shuffle" -> c.epochShuffle.nonEmpty).filter(_._2).map(_._1)
+    require(modeFlags.size <= 1,
+      s"conflicting pipeline modes: ${modeFlags.mkString(" and ")} — pass at most one")
     if (c.contaminationCheck.nonEmpty) { runContamination(spark, c); return }
     if (c.redact) { runRedact(spark, c); return }
     if (c.segmentDedup) { runSegmentDedup(spark, c); return }
@@ -490,7 +499,14 @@ object Main {
       fsplit(col(c.redactColumn),
         java.util.regex.Pattern.quote(c.segmentDelimiter)).as("__segs"))
     val mode = if (c.csv.force) "overwrite" else "errorifexists"
-    graft.operators.Dedup.dedupSegmentsKeepFirst(segs, c.keyColumn, "__segs")
+    // empty/whitespace-only segments are EXEMPT from the election:
+    // Spark's split keeps empty strings, so without the exemption every
+    // blank line (and trailing-newline empty segment) beyond the first
+    // in the corpus would be removed, silently collapsing paragraph
+    // boundaries — C4/RefinedWeb line dedup passes trivial lines through
+    // (ADVICE r5)
+    graft.operators.Dedup.dedupSegmentsKeepFirst(segs, c.keyColumn, "__segs",
+      passThrough = Some(s => trim(s) === ""))
       .select(col(c.keyColumn), col("n_kept"),
         array_join(col("kept_segments"), c.segmentDelimiter)
           .as(c.redactColumn))

@@ -23,11 +23,17 @@ object Queries6 {
     * splits (the synthetic text has no newlines; the OPERATOR takes any
     * array<string>). */
   private def segsOfTokens(toks: Column): Column =
-    transform(
-      sequence(lit(0), floor((size(toks) - lit(1)) / lit(SegW)).cast("int")),
-      i => array_join(
-        transform(slice(toks, i * SegW + 1, lit(SegW)), x => x.cast("string")),
-        ","))
+    // empty-array guard (ADVICE r5): sequence(0, -1) yields the
+    // DESCENDING [0, -1] in Spark and would emit two phantom empty
+    // segments where the oracle's range((len+3)//4) yields none.
+    // Unreachable for the gate's inputs (split always yields >= 1
+    // token) but pinned here so a future input change cannot diverge.
+    when(size(toks) === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), floor((size(toks) - lit(1)) / lit(SegW)).cast("int")),
+        i => array_join(
+          transform(slice(toks, i * SegW + 1, lit(SegW)), x => x.cast("string")),
+          ",")))
 
   // --------------------------------------------------------------- q59
   /** Segment-level exact dedup, keep-first, with document reassembly:

@@ -139,15 +139,37 @@ object Dedup {
     * `array<string>` column (callers choose the segmentation: lines,
     * paragraphs, fixed token windows).
     */
+  /** `passThrough`: segments matching the predicate are EXEMPT from the
+    * keep-first election and always survive in place — C4/RefinedWeb-style
+    * line dedup exempts empty/trivial lines so blank-line paragraph
+    * boundaries are not collapsed corpus-wide (ADVICE r5). None = every
+    * segment is electable (the q59 gate's pinned semantics). */
   def dedupSegmentsKeepFirst(df: DataFrame, idCol: String,
-      segsCol: String): DataFrame = {
+      segsCol: String,
+      passThrough: Option[Column => Column] = None): DataFrame = {
     val ex = df.select(col(idCol).as("__id"),
       posexplode(col(segsCol)).as(Seq("__pos", "__seg")))
-    val keeper = ex.groupBy(col("__seg"))
+    // null-safe split: a null predicate result must not drop the segment
+    // from BOTH branches
+    val exempt = passThrough.map(p =>
+      ex.where(coalesce(p(col("__seg")), lit(false))))
+    val electable = passThrough match {
+      case Some(p) => ex.where(!coalesce(p(col("__seg")), lit(false)))
+      case None => ex
+    }
+    val keeper = electable.groupBy(col("__seg"))
       .agg(min(struct(col("__id"), col("__pos"))).as("__keep"))
-    val surv = ex.join(keeper, "__seg")
-      .where(col("__keep.__id") === col("__id") &&
-        col("__keep.__pos") === col("__pos"))
+    // The surviving occurrences ARE the keeper rows (one per distinct
+    // segment, at its min (id, pos)) — no join back to the exploded
+    // table needed. This also deletes the operator's only skew surface
+    // (VERDICT r5 #7: a boilerplate segment repeated 10^7 times used to
+    // probe one hot __seg key on one task); the remaining hot-key touch
+    // is the keeper AGGREGATE, which partial map-side aggregation
+    // bounds by design.
+    val surv0 = keeper.select(col("__keep.__id").as("__id"),
+      col("__keep.__pos").as("__pos"), col("__seg"))
+    val surv = exempt.fold(surv0)(e =>
+      surv0.unionByName(e.select(col("__id"), col("__pos"), col("__seg"))))
     val reassembled = surv.groupBy(col("__id"))
       .agg(count(lit(1)).as("n_kept"),
         array_sort(collect_list(struct(col("__pos"), col("__seg"))))

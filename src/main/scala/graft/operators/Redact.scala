@@ -42,6 +42,13 @@ object Redact {
     require(rules.nonEmpty, "at least one redaction rule required")
     require(rules.map(_.name).distinct.size == rules.size,
       "duplicate rule names")
+    // fail-loudly convention (ADVICE r5): withColumn would silently
+    // OVERWRITE pre-existing columns with these names
+    val outCols = rules.map(r => s"n_${r.name}") ++
+      Seq("n_redacted", "redacted_text")
+    val clash = outCols.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"redact output columns already exist in the input: ${clash.mkString(", ")}")
     // thread the text through the rule chain; each rule's count is taken
     // on the text AFTER all earlier rules applied (sequential semantics,
     // mirrored verbatim by the oracle CTE chain)

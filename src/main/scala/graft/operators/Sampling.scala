@@ -130,6 +130,11 @@ object Sampling {
   def epochShuffle(df: DataFrame, keyCol: String, epoch: Long,
       batchSize: Long): DataFrame = {
     require(batchSize > 0, s"batchSize $batchSize must be positive")
+    // fail-loudly convention (ADVICE r5): the output columns must not
+    // silently overwrite pre-existing input columns
+    val clash = Seq("epoch_pos", "batch").filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"epochShuffle output columns already exist in the input: ${clash.mkString(", ")}")
     val withH = df
       .withColumn("__h", selectionHash(nonNegative(keyCol), epoch))
       .withColumn("__one", lit(1L))

@@ -98,8 +98,11 @@ case class AsOfJoinExec(
     val rightOut = right.output
     val entityOrd0 = org.apache.spark.sql.catalyst.util.TypeUtils
       .getInterpretedOrdering(leftEntity.dataType)
-    val tsOrd0 = org.apache.spark.sql.catalyst.util.TypeUtils
-      .getInterpretedOrdering(leftTs.dataType)
+    // ts columns are REQUIRED LongType (AsOfNative.join enforces it; the
+    // merge below reads them with primitive getLong — no per-row boxing)
+    require(leftTs.dataType == org.apache.spark.sql.types.LongType &&
+      rightTs.dataType == org.apache.spark.sql.types.LongType,
+      "AsOfJoinExec requires LongType ts columns")
     // null-safe, NULLS FIRST (matching requiredChildOrdering's default):
     // the interpreted ordering NPEs on null operands, and the batch
     // window rewrite groups null keys rather than crashing — parity
@@ -110,13 +113,30 @@ case class AsOfJoinExec(
       else if (b == null) 1
       else ord.compare(a, b)
     val entityOrd = nullsFirst(entityOrd0)
-    val tsOrd = nullsFirst(tsOrd0)
+    // primitive null-first ts compare (ts is LongType by the require)
+    def tsCmp(aNull: Boolean, a: Long, bNull: Boolean, b: Long): Int =
+      if (aNull && bNull) 0 else if (aNull) -1 else if (bNull) 1
+      else java.lang.Long.compare(a, b)
     val strictB = strict
     val lEntityIdx = ordinal(leftOut, leftEntity)
     val lTsIdx = ordinal(leftOut, leftTs)
     val rEntityIdx = ordinal(rightOut, rightEntity)
     val rTsIdx = ordinal(rightOut, rightTs)
     val rValIdx = rightValues.map(a => ordinal(rightOut, a))
+    // hoisted primitive arrays: the absorb loop runs once per RIGHT row,
+    // and a per-row Seq.zipWithIndex would allocate a list + tuples for
+    // every one of them
+    val rValIdxArr = rValIdx.toArray
+    val rValTypesArr = rightValues.map(_.dataType).toArray
+    // primitive-copy codes for the hot absorb loop: 0=double, 1=long,
+    // 2=int, 3=float, -1=generic copyValue (boxes)
+    val rValCodeArr = rValTypesArr.map {
+      case org.apache.spark.sql.types.DoubleType => 0
+      case org.apache.spark.sql.types.LongType => 1
+      case org.apache.spark.sql.types.IntegerType => 2
+      case org.apache.spark.sql.types.FloatType => 3
+      case _ => -1
+    }
     val entityType = leftEntity.dataType
     val tsType = leftTs.dataType
     val rValTypes = rightValues.map(_.dataType)
@@ -132,17 +152,21 @@ case class AsOfJoinExec(
       val nullCarry = new SpecificInternalRow(carrySchema)
       carrySchema.indices.foreach(nullCarry.setNullAt)
       var carryEntity: Any = null
+      var carryTsNull = true
+      var carryTs = 0L
       var hasCarry = false
       var rHead: InternalRow = null
       var rHeadDone = !rIter.hasNext
       if (!rHeadDone) rHead = rIter.next()
 
-      def rightApplies(le: Any, lt: Any): Boolean = {
+      def rightApplies(le: Any, ltNull: Boolean, lt: Long): Boolean = {
         val ec = entityOrd(rHead.get(rEntityIdx, entityType), le)
         if (ec < 0) true
         else if (ec > 0) false
         else {
-          val tc = tsOrd(rHead.get(rTsIdx, tsType), lt)
+          val rNull = rHead.isNullAt(rTsIdx)
+          val tc = tsCmp(rNull, if (rNull) 0L else rHead.getLong(rTsIdx),
+            ltNull, lt)
           if (strictB) tc < 0 else tc <= 0
         }
       }
@@ -155,7 +179,8 @@ case class AsOfJoinExec(
       // compare per consumed row, no copies beyond the existing carry)
       // and throws instead of silently emitting wrong matches.
       var prevLe: Any = null
-      var prevLt: Any = null
+      var prevLtNull = true
+      var prevLt = 0L
       var haveLPrev = false
       def orderViolation(side: String, e: Any, t: Any): Nothing =
         throw new IllegalStateException(
@@ -164,34 +189,51 @@ case class AsOfJoinExec(
             "(AsOfNative.assumeSorted) on unsorted data?")
       lIter.map { lRow =>
         val le = lRow.get(lEntityIdx, entityType)
-        val lt = lRow.get(lTsIdx, tsType)
+        val ltNull = lRow.isNullAt(lTsIdx)
+        val lt = if (ltNull) 0L else lRow.getLong(lTsIdx)
         if (haveLPrev) {
           val ec = entityOrd(le, prevLe)
-          if (ec < 0 || (ec == 0 && tsOrd(lt, prevLt) < 0))
-            orderViolation("left", le, lt)
+          if (ec < 0 || (ec == 0 && tsCmp(ltNull, lt, prevLtNull, prevLt) < 0))
+            orderViolation("left", le, if (ltNull) null else lt)
         }
         prevLe = InternalRow.copyValue(le)
-        prevLt = InternalRow.copyValue(lt)
+        prevLtNull = ltNull
+        prevLt = lt
         haveLPrev = true
-        while (!rHeadDone && rightApplies(le, lt)) {
+        while (!rHeadDone && rightApplies(le, ltNull, lt)) {
           // absorb this right row into the carry (copies — the sorter
           // reuses row objects); first verify the right stream really is
           // non-decreasing vs the previous absorbed row
-          if (hasCarry) {
-            val re = rHead.get(rEntityIdx, entityType)
-            val ec = entityOrd(re, carryEntity)
-            if (ec < 0 || (ec == 0 &&
-                tsOrd(rHead.get(rTsIdx, tsType),
-                  carry.get(carrySchema.length - 1, tsType)) < 0))
-              orderViolation("right", re, rHead.get(rTsIdx, tsType))
+          val rtNull = rHead.isNullAt(rTsIdx)
+          val rt = if (rtNull) 0L else rHead.getLong(rTsIdx)
+          val re = rHead.get(rEntityIdx, entityType)
+          val reCmp = if (hasCarry) entityOrd(re, carryEntity) else 1
+          if (hasCarry &&
+              (reCmp < 0 || (reCmp == 0 &&
+                tsCmp(rtNull, rt, carryTsNull, carryTs) < 0)))
+            orderViolation("right", re, if (rtNull) null else rt)
+          // copy the entity only when it CHANGES (the sorter reuses row
+          // buffers, so a held reference must be a copy — but one copy
+          // per entity, not one per absorbed row)
+          if (reCmp != 0) carryEntity = InternalRow.copyValue(re)
+          var vi = 0
+          while (vi < rValIdxArr.length) {
+            val ri = rValIdxArr(vi)
+            if (rHead.isNullAt(ri)) carry.setNullAt(vi)
+            else rValCodeArr(vi) match {
+              case 0 => carry.setDouble(vi, rHead.getDouble(ri))
+              case 1 => carry.setLong(vi, rHead.getLong(ri))
+              case 2 => carry.setInt(vi, rHead.getInt(ri))
+              case 3 => carry.setFloat(vi, rHead.getFloat(ri))
+              case _ => carry.update(vi,
+                InternalRow.copyValue(rHead.get(ri, rValTypesArr(vi))))
+            }
+            vi += 1
           }
-          carryEntity = InternalRow.copyValue(rHead.get(rEntityIdx, entityType))
-          rValIdx.zipWithIndex.foreach { case (ri, i) =>
-            if (rHead.isNullAt(ri)) carry.setNullAt(i)
-            else carry.update(i, InternalRow.copyValue(rHead.get(ri, rValTypes(i))))
-          }
-          carry.update(carrySchema.length - 1,
-            InternalRow.copyValue(rHead.get(rTsIdx, tsType)))
+          if (rtNull) carry.setNullAt(carrySchema.length - 1)
+          else carry.setLong(carrySchema.length - 1, rt)
+          carryTsNull = rtNull
+          carryTs = rt
           hasCarry = true
           if (rIter.hasNext) rHead = rIter.next() else { rHeadDone = true; rHead = null }
         }

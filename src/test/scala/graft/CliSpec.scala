@@ -287,6 +287,36 @@ class CliSpec extends AnyFunSuite {
       (3L, 0L, "")))
   }
 
+  test("segment-dedup CLI: blank lines pass through (paragraph boundaries kept)") {
+    val docsPath = tmp("graftsegblank") + "/docs"
+    Seq(
+      (1L, "alpha\n\nbeta"),  // blank paragraph break
+      (2L, "gamma\n\ndelta")) // its blank must NOT be deduped away
+      .toDF("doc_id", "text").write.parquet(docsPath)
+    val out = tmp("graftsegblankout") + "/deduped"
+    Main.run(spark, Main.parseArgs(Seq(
+      "--input", docsPath, "--segment-dedup", "--output", out)))
+    val got = spark.read.parquet(out)
+      .select("doc_id", "text").orderBy("doc_id")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, "alpha\n\nbeta"),
+      (2L, "gamma\n\ndelta")))
+  }
+
+  test("conflicting pipeline mode flags fail loudly") {
+    val docsPath = tmp("graftconflict") + "/docs"
+    Seq((1L, "x")).toDF("doc_id", "text").write.parquet(docsPath)
+    val e = intercept[IllegalArgumentException] {
+      Main.run(spark, Main.parseArgs(Seq(
+        "--input", docsPath, "--redact", "--segment-dedup",
+        "--output", tmp("graftconflictout") + "/o")))
+    }
+    assert(e.getMessage.contains("conflicting pipeline modes"))
+    assert(e.getMessage.contains("--redact") &&
+      e.getMessage.contains("--segment-dedup"))
+  }
+
   test("epoch-shuffle CLI: permutation + batches end-to-end") {
     val docsPath = tmp("graftepoch") + "/docs"
     (0L until 200L).toDF("doc_id").write.parquet(docsPath)

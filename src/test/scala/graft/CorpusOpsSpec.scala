@@ -27,6 +27,23 @@ class CorpusOpsSpec extends AnyFunSuite {
       (3L, 0L, Seq())))
   }
 
+  test("segment dedup passThrough exempts matching segments everywhere") {
+    import org.apache.spark.sql.functions.{trim => ftrim}
+    val df = Seq(
+      (1L, Seq("a", "", "b")),
+      (2L, Seq("", "a", "")), // both blanks survive; "a" lost to doc 1
+      (3L, Seq("b", ""))      // blank survives; "b" lost
+    ).toDF("doc_id", "segs")
+    val got = Dedup.dedupSegmentsKeepFirst(df, "doc_id", "segs",
+      passThrough = Some(s => ftrim(s) === ""))
+      .orderBy("doc_id")
+      .as[(Long, Long, Seq[String])].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, Seq("a", "", "b")),
+      (2L, 2L, Seq("", "")),
+      (3L, 1L, Seq(""))))
+  }
+
   test("segment dedup within-doc repeat keeps earliest position") {
     val df = Seq((7L, Seq("x", "y", "x", "x"))).toDF("doc_id", "segs")
     val got = Dedup.dedupSegmentsKeepFirst(df, "doc_id", "segs")
