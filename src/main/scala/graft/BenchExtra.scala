@@ -13,6 +13,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   runMain graft.BenchExtra noop  <query[,query...]> [tries]
   *   runMain graft.BenchExtra explain <query[,query...]> <outDir>
   *
+  * `time` measures df.count() — DELIBERATELY the frozen bench's own
+  * per-gate action, so numbers are comparable to BENCH/metrics.json.
+  * count() lets Catalyst prune unconsumed projections, so for absolute
+  * full-column cost use `noop` (guide §1.4), which computes every
+  * column of every row.
+  *
   * Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
   *      SPARK_GRAFT_CPUS (default 32) — same contract as graft.Bench.
   */

@@ -166,8 +166,13 @@ object Dedup {
     // probe one hot __seg key on one task); the remaining hot-key touch
     // is the keeper AGGREGATE, which partial map-side aggregation
     // bounds by design.
-    val surv0 = keeper.select(col("__keep.__id").as("__id"),
-      col("__keep.__pos").as("__pos"), col("__seg"))
+    // null segments never survive — parity with the pre-optimization
+    // join-back formulation, whose equi-join on __seg dropped them
+    // (null != null); the keeper-row emission would otherwise newly
+    // keep one occurrence of a null segment
+    val surv0 = keeper.where(col("__seg").isNotNull)
+      .select(col("__keep.__id").as("__id"),
+        col("__keep.__pos").as("__pos"), col("__seg"))
     val surv = exempt.fold(surv0)(e =>
       surv0.unionByName(e.select(col("__id"), col("__pos"), col("__seg"))))
     val reassembled = surv.groupBy(col("__id"))
@@ -483,8 +488,11 @@ object Dedup {
     * pair graphs real dedup thresholds produce (guide §1.2: fix the
     * distributed algorithm first — here the ideal plan for a sub-million-
     * edge graph is no distribution at all). The limit bounds the driver
-    * collect explicitly (2M edges ≈ tens of MB); above it — the 100 TB
-    * shape — the unchanged distributed rounds run. Set 0 to disable. */
+    * collect explicitly: at the 1M default expect a few hundred MB of
+    * TRANSIENT driver footprint (boxed Rows + the labels list), so size
+    * the limit to the driver heap before raising it. Above the limit —
+    * the 100 TB shape — the unchanged distributed rounds run. Set 0 to
+    * disable. */
   val LocalEdgeLimitKey = "spark.graft.cc.localEdgeLimit"
   private val localEdgeLimitDefault = 1000000L
 

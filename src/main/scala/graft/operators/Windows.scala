@@ -117,6 +117,12 @@ object Windows {
       orderCol: String, outCol: String = "pos"): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.{LongType, StructField, StructType, IntegerType}
+    // fail-loudly conventions: no silent column clobbering, and the
+    // (partition, group) offset collect below is bounded by an explicit
+    // guard rather than a comment (see maxOffsetRows)
+    val clash = Seq(outCol, "__pid", "__gcount").filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"globalRowNumberByGroup output columns already exist: ${clash.mkString(", ")}")
     val spark = df.sparkSession
     val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val ranged = df.repartitionByRange(n, col(orderCol))
@@ -135,9 +141,19 @@ object Windows {
         Row.fromSeq(r.toSeq :+ c)
       }
     }(Encoders.row(outSchema)))
+    // one row per (partition, group): explicitly BOUNDED — a
+    // high-cardinality group column would otherwise drive an unbounded
+    // driver collect; limit N+1 + require fails fast (the Main
+    // --multiplex convention) instead of OOMing mid-collect
+    val maxOffsetRows = 1000000
     val totals = local.groupBy(col("__pid"), col(groupCol))
       .agg(max(col("__gcount")).as("__t"))
-      .collect() // one row per (partition, group) — bounded by design
+      .limit(maxOffsetRows + 1)
+      .collect()
+    require(totals.length <= maxOffsetRows,
+      s"globalRowNumberByGroup: over $maxOffsetRows (partition, group) " +
+        "offset rows — the group column is too high-cardinality for the " +
+        "fused prefix pass; use globalRowNumber per group or a window")
     if (totals.isEmpty)
       return local.withColumn(outCol, lit(0L))
         .drop("__pid", "__gcount")

@@ -195,8 +195,10 @@ case class AsOfJoinExec(
           val ec = entityOrd(le, prevLe)
           if (ec < 0 || (ec == 0 && tsCmp(ltNull, lt, prevLtNull, prevLt) < 0))
             orderViolation("left", le, if (ltNull) null else lt)
-        }
-        prevLe = InternalRow.copyValue(le)
+          // copy the held entity only when it CHANGES (same rule as the
+          // carry below) — one clone per entity, not one per left row
+          if (ec != 0) prevLe = InternalRow.copyValue(le)
+        } else prevLe = InternalRow.copyValue(le)
         prevLtNull = ltNull
         prevLt = lt
         haveLPrev = true

@@ -44,6 +44,20 @@ class CorpusOpsSpec extends AnyFunSuite {
       (3L, 1L, Seq(""))))
   }
 
+  test("segment dedup drops null segments (join-back parity)") {
+    // the pre-optimization equi-join-back formulation never matched null
+    // segments (null != null), so they were removed; the keeper-row
+    // emission pins the same behavior
+    val df = Seq(
+      (1L, Seq("a", null, "b")),
+      (2L, Seq[String](null, null))
+    ).toDF("doc_id", "segs")
+    val got = Dedup.dedupSegmentsKeepFirst(df, "doc_id", "segs")
+      .orderBy("doc_id")
+      .as[(Long, Long, Seq[String])].collect().toSeq
+    assert(got == Seq((1L, 2L, Seq("a", "b")), (2L, 0L, Seq())))
+  }
+
   test("segment dedup within-doc repeat keeps earliest position") {
     val df = Seq((7L, Seq("x", "y", "x", "x"))).toDF("doc_id", "segs")
     val got = Dedup.dedupSegmentsKeepFirst(df, "doc_id", "segs")

@@ -362,6 +362,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
         s"(delta ${CapMetrics.totalDroppedRows - before})")
   }
 
+  test("wipeout detector still fires for an un-materialized capped stage") {
+    // the declared-but-missing observation branch (totalWipeouts) no
+    // longer triggers through the materialized pair generators; keep it
+    // covered with a synthetic plan whose graft_cap observation sits in
+    // a join branch AQE prunes to empty
+    import graft.operators.CapMetrics
+    CapMetrics.ensureListener(spark)
+    val before = CapMetrics.totalWipeouts
+    val a = spark.range(100).toDF("x")
+      .observe("graft_cap_syntest", count(lit(1)).as("dropped_rows"),
+        count(lit(1)).as("dropped_buckets"), count(lit(1)).as("max_bucket"))
+    val b = spark.range(0).toDF("x")
+    assert(a.join(b, "x").count() == 0L)
+    val deadline = System.currentTimeMillis() + 15000
+    while (CapMetrics.totalWipeouts == before &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(CapMetrics.totalWipeouts > before,
+      "AQE-pruned observation not reported as a wipeout")
+  }
+
   test("stratified sampling applies per-stratum rates map-side") {
     import graft.operators.Sampling
     val df = spark.range(30000).toDF("id")

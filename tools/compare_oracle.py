@@ -39,10 +39,13 @@ for name in sorted(oracle):
                         lambda v: tuple(v) if isinstance(v, (list,)) or
                         type(v).__name__ == "ndarray" else v)
                 elif df[c].dtype.kind == "f":
-                    # NaN != NaN would flag equal rows; use a sentinel
+                    # stringify the WHOLE column (not just NaN): a mixed
+                    # str/float column would make sorted() raise TypeError
+                    # on tied rows; repr(round(v, 6)) is identical on both
+                    # faces iff the rounded values are
                     df[c] = df[c].round(6).map(
                         lambda v: "NaN" if isinstance(v, float) and
-                        math.isnan(v) else v)
+                        math.isnan(v) else repr(v))
                 elif str(df[c].dtype).startswith("u"):
                     df[c] = df[c].astype("int64")
             return sorted(map(tuple, df.itertuples(index=False, name=None)))
